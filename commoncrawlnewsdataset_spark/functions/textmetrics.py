@@ -1,0 +1,153 @@
+"""X5 — per-article quality metrics, bit-exact with the reference.
+
+Reference: ``compute_metrics`` in Project_Scripts/04_compute_quality_metrics.py:25-61
+(sentence regex ``\\b[^.!?]+[.!?]*``, bullet char set, lowercase 'javascript'
+substring count, line-ends-with-ellipsis, Python str.isalpha word test,
+div-by-zero -> 0 guards).
+
+Two implementations:
+
+1. ``quality_metrics_udf`` — Arrow-batched pandas UDF returning a struct of
+   the 8 metrics.  Per-character Python semantics (``str.isalpha`` is
+   Unicode-aware in a way no SQL regex exactly matches), so this is the
+   parity-exact path; pytest asserts equality against the reference function
+   imported from /root/reference.
+
+2. ``with_sql_text_stats`` — native Column expressions for the
+   SQL-expressible subset (word_count, sentences_count, javascript_count,
+   words_per_line, mean_word_length).  JVM-side, whole-stage codegen,
+   DuckDB-oracle checkable; used by the analytics layer where bit-parity with
+   CPython ``isalpha`` is not required.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SENTENCE_PATTERN = re.compile(r"\b[^.!?]+[.!?]*")
+BULLET_POINTS = frozenset(
+    {"•", "‣", "▶", "◀", "◦", "■", "□", "▪", "▫", "–"}
+)
+
+METRICS_STRUCT = StructType(
+    [
+        StructField("fraction_ellipsis", DoubleType()),
+        StructField("fraction_non_alpha_words", DoubleType()),
+        StructField("mean_word_length", DoubleType()),
+        StructField("javascript_count", LongType()),
+        StructField("words_per_line", DoubleType()),
+        StructField("bullet_point_starts", LongType()),
+        StructField("sentences_count", LongType()),
+        StructField("word_count", LongType()),
+    ]
+)
+
+METRIC_COLS = [f.name for f in METRICS_STRUCT.fields]
+
+
+def compute_metrics_py(article: str) -> dict:
+    """From-scratch implementation of the reference metric semantics
+    (04_compute_quality_metrics.py:27-61) — used inside the vectorized UDF
+    and directly by unit tests."""
+    javascript_count = article.lower().count("javascript")
+    sentences_count = len(SENTENCE_PATTERN.findall(article))
+
+    lines = article.split("\n")
+    total_word_length = 0
+    non_alpha_word_count = 0
+    total_words = 0
+    ellipsis_count = 0
+    bullet_point_starts = 0
+    for line in lines:
+        if line.endswith("...") or line.endswith("…"):
+            ellipsis_count += 1
+        words = line.split()
+        for word in words:
+            if not any(c.isalpha() for c in word):
+                non_alpha_word_count += 1
+            total_word_length += len(word)
+        total_words += len(words)
+        if line and line[0] in BULLET_POINTS:
+            bullet_point_starts += 1
+
+    n_lines = len(lines)  # split('\n') never returns [] -> guards mirror ref exactly
+    return {
+        "fraction_ellipsis": ellipsis_count / n_lines if n_lines else 0,
+        "fraction_non_alpha_words": (
+            non_alpha_word_count / total_words if total_words else 0
+        ),
+        "mean_word_length": total_word_length / total_words if total_words else 0,
+        "javascript_count": javascript_count,
+        "words_per_line": total_words / n_lines if n_lines else 0,
+        "bullet_point_starts": bullet_point_starts,
+        "sentences_count": sentences_count,
+        "word_count": total_words,
+    }
+
+
+@F.pandas_udf(METRICS_STRUCT)
+def quality_metrics_udf(text: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [compute_metrics_py(t if t is not None else "") for t in text],
+        columns=METRIC_COLS,
+    )
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """E2-style struct flatten (ref 04:67-69): append the 8 metric columns."""
+    return df.withColumn("_m", quality_metrics_udf(F.col(text_col))).select(
+        "*", "_m.*"
+    ).drop("_m")
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible text statistics (JVM-side; DuckDB-oracle parity).
+# ---------------------------------------------------------------------------
+
+def sql_word_count(text: Column) -> Column:
+    """Whitespace token count, empty tokens excluded (≡ str.split())."""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+
+
+def sql_sentences_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"\b[^.!?]+[.!?]*"))
+
+
+def sql_javascript_count(text: Column) -> Column:
+    low = F.lower(text)
+    return (
+        (F.length(low) - F.length(F.regexp_replace(low, "javascript", ""))) / 10
+    ).cast("long")
+
+
+def sql_line_count(text: Column) -> Column:
+    return F.size(F.split(text, "\n"))
+
+
+def with_sql_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    wc = sql_word_count(t)
+    nl = sql_line_count(t)
+    return (
+        df.withColumn("word_count", wc)
+        .withColumn("sentences_count", sql_sentences_count(t))
+        .withColumn("javascript_count", sql_javascript_count(t))
+        .withColumn("words_per_line", (wc / nl).cast("double"))
+        .withColumn(
+            "mean_word_length",
+            F.when(
+                wc > 0,
+                (F.length(F.regexp_replace(t, r"\s+", "")) / wc).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

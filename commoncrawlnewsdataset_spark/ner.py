@@ -1,0 +1,80 @@
+"""V5 — NER enrichment stage as an iterator pandas UDF.
+
+Reference: spaCy model extracting entities labeled 'city_names'
+(06_named_entity_recognition.py:48-61), plus the loc/loc_normal columns and
+the 12-column projection (06:65-70).
+
+The model is pluggable: a deterministic gazetteer matcher (regex over the
+known city list, FIXTURES.md §7) stands in for spaCy — same iterator-UDF
+shape, so swapping in `spacy.load(...)` per python worker is a one-line
+change.  The iterator form loads the model ONCE per worker, not per batch —
+the pattern that makes the reference's slowest stage (README.md:33-36)
+scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from commoncrawlnewsdataset_spark.functions.normalize import normalize_loc_ner_py
+from commoncrawlnewsdataset_spark.synth import CITY_GAZETTEER
+
+
+def _build_matcher():
+    """'Model load' for the stub: one compiled alternation over the gazetteer,
+    longest-first so multi-word names win."""
+    names = sorted((n for n, _, _ in CITY_GAZETTEER), key=len, reverse=True)
+    return re.compile("|".join(re.escape(n) for n in names))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def ner_locations_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    matcher = _build_matcher()  # once per python worker
+    for texts in batches:
+        yield texts.map(lambda t: matcher.findall(t) if t else [])
+
+
+@F.pandas_udf(StringType())
+def first_loc_normal_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """X9 normalization of the FIRST extracted location (06:54-61); empty
+    string when no locations — exact reference behavior."""
+    matcher = _build_matcher()
+    for texts in batches:
+        yield texts.map(
+            lambda t: (
+                normalize_loc_ner_py(m[0]) if t and (m := matcher.findall(t)) else ""
+            )
+        )
+
+
+def with_ner(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """S5 stage: adds loc:array<string> + loc_normal:string.
+
+    loc_normal is derived JVM-side from loc (one UDF pass, not two) via the
+    X9 column expression — identical result to first_loc_normal_udf, cheaper."""
+    from commoncrawlnewsdataset_spark.functions.normalize import normalize_loc_ner
+
+    with_loc = df.withColumn("loc", ner_locations_udf(F.col(text_col)))
+    return with_loc.withColumn(
+        "loc_normal",
+        F.when(
+            F.size("loc") > 0, normalize_loc_ner(F.col("loc")[0])
+        ).otherwise(F.lit("")),
+    )
+
+
+NER_PROJECTION = [
+    "date", "url", "id", "excerpt", "tags", "categories",
+    "title", "text", "hostname", "date_crawled", "loc", "loc_normal",
+]
+
+
+def project_ner_columns(df: DataFrame) -> DataFrame:
+    """P3: the fixed 12-column projection (06:69-70)."""
+    return df.select(*NER_PROJECTION)

@@ -1,0 +1,294 @@
+"""Deduplication family for web-scale corpora.
+
+The reference dedups only exactly, per shard (drop_duplicates on
+(text, hostname), 03_extract_text.py:80).  At 100 TB the near-dup family is
+the workhorse, so each variant here is a first-class DataFrame plan:
+
+- exact            hash-groupBy on a normalized-content fingerprint
+- minhash + LSH    shingle -> md5 minhash signature -> banded bucket join
+- simhash          per-token md5 bit votes -> 32-bit signature -> collision groups
+- n-gram Jaccard   inverted shingle index self-join, exact Jaccard on candidates
+- embedding cosine near-dup pairs (blocked; see similarity.py for ANN)
+
+Design for scale, concretely:
+- Every hash is computed from md5/murmur3 column expressions — JVM-side,
+  codegen, no Python.
+- Pair generation always goes through an inverted index (shingle or LSH
+  bucket) — never a cross join.  Hot buckets are capped (`bucket_cap`) the
+  same way a production MinHash-LSH pipeline drops degenerate bands (a
+  stopword shingle shared by every doc would otherwise make one reducer
+  quadratic) — the cap is a semantic parameter, not a silent truncation.
+- Candidate pairs are distinct'd *before* the expensive exact-Jaccard
+  verification, so verification work is proportional to candidates, not to
+  bucket multiplicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties removed (matches
+    DuckDB regexp_split_to_array for oracle parity)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles joined by a single space; empty array when < k tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct content with
+    the deterministic survivor (min id) and the duplicate count.
+
+    'Keep first' in the reference depends on file order; the scalable,
+    deterministic contract is 'keep min(id)'."""
+    from commoncrawlnewsdataset_spark.functions.quality import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly the min-id row per distinct content — window-free
+    formulation (semi join against survivors) so AQE can broadcast the small
+    survivor side when dup groups are rare."""
+    from commoncrawlnewsdataset_spark.functions.quality import fingerprint_md5
+
+    with_fp = df.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    survivors = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(survivors, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash via md5(seed || ':' || shingle): the signature is the
+    lexicographic min hex digest per seed.  md5 is identical in Spark and
+    DuckDB, which makes signatures oracle-checkable; string-min of a uniform
+    hash is order-isomorphic to integer-min, so LSH banding behaves normally."""
+    sh = shingles(text, k)
+
+    def _seeded(prefix: str):
+        # single-parameter closure: a 2-arg lambda would make Spark pass the
+        # element *index* as the second argument
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded(f"{i}:"))) for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band bucket.
+
+    Plan shape: one shuffle to group by (band, bucket), per-bucket pair
+    expansion bounded by `bucket_cap` (skew guard), distinct pairs out.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), n_hashes, k).alias("sig")
+    ).filter(F.size("sig") > 0)
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    capped = banded.groupBy("band", "bucket").agg(
+        F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
+    ).filter(F.size("ids") > 1)
+
+    pairs = capped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, ai: F.transform(
+                        F.slice(F.col("ids"), ai + 2, F.size("ids")), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: token hash = first 15 hex of md5 as a
+    60-bit int (conv is exact there); each bit votes +1/-1; signature bit b is
+    set when the vote sum is positive.  conv/md5/bit-ops all mirror 1:1 into
+    the DuckDB oracle ('0x'||substr cast)."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_terms = []
+    for b in range(bits):
+        votes = F.aggregate(th, F.lit(0).cast("long"), _vote(b))
+        bit_terms.append(F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return F.when(F.size(toks) > 0, total).otherwise(F.lit(None).cast("long"))
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Docs sharing an identical simhash signature (collision groups) —
+    the scale-path first stage; Hamming-ball probing extends it by banding
+    the signature, same as minhash bands."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash"))
+    return (
+        sh.filter(F.col("simhash").isNotNull())
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("min_id"))
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.5,
+    shingle_cap: int = 500,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-token shingles, pairs via inverted index.
+
+    Shuffles: (1) explode+groupBy shingle (inverted index), (2) groupBy pair.
+    A shingle shared by more than `shingle_cap` docs is dropped from the
+    index (stopword-shingle guard — it can only produce candidates that other,
+    rarer shingles also produce, so recall for threshold>0 is unaffected
+    until cap < 1/threshold of corpus)."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sizes = sets.select("id", F.size("sh").alias("sz"))
+
+    inv = sets.select("id", F.explode("sh").alias("s"))
+    # inverted index with hot-key guard
+    grouped = inv.groupBy("s").agg(F.collect_list("id").alias("ids")).filter(
+        (F.size("ids") > 1) & (F.size("ids") <= shingle_cap)
+    )
+    co = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.array_sort("ids"),
+                    lambda a, ai: F.transform(
+                        F.slice(F.array_sort("ids"), ai + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).groupBy("p.a", "p.b").agg(F.count("*").alias("inter"))
+
+    out = (
+        co.join(sizes.withColumnsRenamed({"id": "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sz_b"}), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (blocked exact path; ANN lives in similarity.py)
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_dup_pairs_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup vector pairs within blocking keys (exact within block).
+
+    The block join keeps the pair space at Σ block² instead of n²; at 100 TB
+    the block key comes from LSH bucketing (similarity.lsh_buckets) instead of
+    a label column — identical plan shape."""
+    lhs = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    rhs = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        lhs.join(rhs, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns.
+
+Re-expresses the reference's USearch ANN queries
+(Example_Usage/Semantic_search_{f32,int8,binary}.py) as DataFrame plans:
+
+- ``brute_force_topk`` — exact top-k by cosine against a query vector:
+  distance column + orderBy + limit (TakeOrderedAndProject; no full sort).
+  This is the correctness baseline (reference O3, Semantic_search_f32.py:21-27)
+  and fixes J7's positional-distance-attach bug structurally: the distance is
+  carried as a column through the metadata join.
+- ``lsh_buckets`` / ``lsh_topk`` — the scale path: sign-random-projection
+  buckets (deterministic hyperplanes from a seed), candidates from matching
+  buckets only, exact re-rank on candidates.  At 10^9 vectors the bucket join
+  touches a small fraction of the corpus instead of all of it.
+- Hamming / dot-product variants for the binary / int8 indexes
+  (10_vector_database.py:14-30).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.operators.dedup import cosine_sim
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: similarity column + orderBy(desc, id) + limit.
+
+    The literal query vector folds into the plan (no join, no shuffle);
+    orderBy+limit compiles to TakeOrderedAndProject — each partition keeps a
+    k-heap, the driver merges k*numPartitions rows, never a global sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    sim = cosine_sim(v, q) if metric == "cosine" else dot(v, q)
+    return (
+        emb.select(F.col(id_col), F.round(sim, 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (pure fn of seed) for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bitstring of sign(vec · plane_j) — JVM-side arithmetic."""
+    bits = []
+    for j, p in enumerate(planes):
+        pj = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec_col.cast("array<double>"), pj) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 13,
+) -> DataFrame:
+    """ANN: restrict to vectors whose sign-LSH bucket is within
+    `probe_hamming` bits of the query's bucket, then exact re-rank.
+
+    At scale the bucket column is precomputed and the table is partitioned by
+    it, so the probe is a partition-pruned scan; here the filter is a cheap
+    bit_count over a derived column."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbits = 0
+    for j, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qbits |= 1 << j
+    bucketed = emb.withColumn("_bkt", lsh_bucket_expr(F.col(vec_col), planes))
+    probed = bucketed.filter(
+        F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qbits))) <= probe_hamming
+    )
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col)
+
+
+def hamming_topk(
+    df: DataFrame, query_sig: int, k: int, id_col: str, sig_col: str
+) -> DataFrame:
+    """Binary-embedding search: Hamming distance via bit_count(xor) —
+    the 128-d binary USearch index's metric (10_vector_database.py:19-23)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(query_sig))).alias("hamming"),
+        )
+        .orderBy("hamming", F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_with_metadata(
+    topk: DataFrame, articles: DataFrame, on: str, cols: list[str]
+) -> DataFrame:
+    """J5: ANN result ⋈ metadata. The k-row side is broadcast — the reference
+    instead round-tripped an IN-list through SQLite and re-attached distances
+    positionally (Semantic_search_f32.py:39-50, buggy J7); carrying the score
+    as a column makes that bug impossible."""
+    return articles.select(on, *cols).join(F.broadcast(topk), on=on, how="inner")

@@ -1,0 +1,904 @@
+"""Driver-facing query registry: every implemented operator from SURVEY §2
+exposed as a (spark_fn, oracle_sql) pair.
+
+Contract (driver protocol, __spark_entry__):
+- spark_fn(spark, sf_dir) -> DataFrame reading /root/testdata parquet
+- oracle_sql: equivalent DuckDB SQL over the pre-registered views
+  (region nation customer supplier part orders lineitem events documents
+  embeddings); None => non-SQL-expressible, rows-only check.
+- column names identical on both sides; float outputs rounded to 4 dp;
+  money sums go through DECIMAL(18,6) so both engines aggregate exactly.
+
+Cross-engine determinism rules used throughout (validated by probes):
+- md5/sha256 hex output identical in Spark and DuckDB.
+- 2**64 ≡ 2 (mod 2**63-1) folds sha256 into a bigint identically.
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+- DuckDB casts double->int by ROUNDING while Spark TRUNCATES: every such
+  cast goes through an explicit trunc() on the DuckDB side.
+- DuckDB list_reduce seeds with the first element: folds get an explicit
+  prepended init value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# Relational conformance (analytics layer; SURVEY §2.7-2.9, §3.3)
+# =========================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial-agg + final-agg plan (A-family).
+    Sums in DECIMAL so the result is exact under any partial-agg order."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(dec("l_quantity")).cast("double"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("sum_qty", F.round("sum_qty", 4))
+        .withColumn("sum_base_price", F.round("sum_base_price", 4))
+        .withColumn("sum_disc_price", F.round("sum_disc_price", 4))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(avg(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A3: star join with two broadcast dims + count-distinct + top-k
+    (SQLite analytics query, Plan_AWS.md:467-475). nation/region are
+    broadcast explicitly; orders⋈customer is the only real shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4).alias("revenue"),
+        )
+        .orderBy(F.desc("n_orders"), "n_name")
+        .limit(10)
+    )
+
+
+ORACLE_STAR_JOIN = """
+SELECT n_name, r_name,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY n_orders DESC, n_name
+LIMIT 10
+"""
+
+
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 time-series bucket (strftime('%Y-%m') analytics, Plan_AWS.md:480-487)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_value_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: value_counts().head(k) (ner_content.py:30-32) with deterministic ties."""
+    from commoncrawlnewsdataset_spark.operators.topk import value_counts_topk
+
+    return value_counts_topk(_t(spark, sf_dir, "events"), "event_type", 5)
+
+
+ORACLE_VALUE_COUNTS = """
+SELECT event_type, count(*) AS count
+FROM events GROUP BY event_type
+ORDER BY count DESC, event_type LIMIT 5
+"""
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/A7: most_common(3) per group (ner_content.py:50,72) as window top-k."""
+    from commoncrawlnewsdataset_spark.operators.topk import group_topk
+
+    orders = _t(spark, sf_dir, "orders")
+    return group_topk(
+        orders.select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")),
+        ["o_orderpriority"], "o_totalprice", 3, "o_orderkey",
+    )
+
+
+ORACLE_GROUP_TOPK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice, 4) DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+F6: groupBy count HAVING > n — the geomap gate (07:142-143)."""
+    from commoncrawlnewsdataset_spark.operators.filters import having_count_gt
+
+    return having_count_gt(_t(spark, sf_dir, "events"), "user_id", 15)
+
+
+ORACLE_HAVING = """
+SELECT user_id, count(*) AS count FROM events GROUP BY user_id HAVING count(*) > 15
+"""
+
+
+def q_countdistinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: COUNT(DISTINCT ...) GROUP BY (Plan_AWS.md:467-475)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
+    )
+
+
+ORACLE_COUNTDISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_month_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: prefix month filter + global count (check_progress.sh:48)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.date_format("ts", "yyyy-MM") == "2024-02").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_MONTH_FILTER = """
+SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events WHERE strftime(ts, '%Y-%m') = '2024-02'
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (streaming-analog in batch): session breaks on >30 min
+    gaps per user via lag + running sum — the window machinery §2.10 uses."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev_epoch = F.lag("ts").over(w).cast("timestamp").cast("long")
+    gap = F.when(epoch - prev_epoch > 1800, 1).otherwise(0)
+    sess = ev.withColumn("brk", gap).withColumn(
+        "session_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), c AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM c GROUP BY user_id
+"""
+
+
+# =========================================================================
+# Corpus / text-analysis queries over `documents` (SURVEY §2.4 + driver brief)
+# =========================================================================
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible X5 subset: JVM-side text statistics."""
+    from commoncrawlnewsdataset_spark.functions.textmetrics import with_sql_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_sql_text_stats(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "word_count",
+        "javascript_count",
+        F.round("words_per_line", 4).alias("words_per_line"),
+        F.round("mean_word_length", 4).alias("mean_word_length"),
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS word_count,
+       CAST(trunc((length(lower(text)) - length(regexp_replace(lower(text), 'javascript', '', 'g'))) / 10) AS BIGINT) AS javascript_count,
+       round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS DOUBLE)
+             / len(string_split(text, chr(10))), 4) AS words_per_line,
+       round(CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) > 0
+             THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                  / len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+             ELSE 0.0 END, 4) AS mean_word_length
+FROM documents
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 band semantics (05_filter_news.py:34-41) over the SQL stats:
+    inclusive between on word_count/mean_word_length, strict > on words_per_line."""
+    stats = q_text_stats(spark, sf_dir)
+    return stats.filter(
+        (F.col("javascript_count") == 0)
+        & (F.col("words_per_line") > 5)
+        & F.col("mean_word_length").between(3, 12)
+        & F.col("word_count").between(50, 10000)
+    ).select("doc_id", "word_count", "mean_word_length")
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH stats AS ({ORACLE_TEXT_STATS})
+SELECT doc_id, word_count, mean_word_length FROM stats
+WHERE javascript_count = 0 AND words_per_line > 5
+  AND mean_word_length BETWEEN 3 AND 12
+  AND word_count BETWEEN 50 AND 10000
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 stopword-ratio language id."""
+    from commoncrawlnewsdataset_spark.functions.langid import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _oracle_langid() -> str:
+    from commoncrawlnewsdataset_spark.functions.langid import DE_STOPWORDS, EN_STOPWORDS
+
+    de = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
+    en = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                                    t -> regexp_replace(t, '[^a-zäöüß]', '', 'g')),
+                     t -> t <> '') AS tt
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(list_filter(tt, t -> list_contains([{de}], t))) AS de_n,
+         len(list_filter(tt, t -> list_contains([{en}], t))) AS en_n
+  FROM toks
+)
+SELECT doc_id, CASE WHEN de_n > en_n THEN 'de' WHEN en_n > de_n THEN 'en' ELSE 'und' END AS lang_pred
+FROM hits
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (driver brief)."""
+    from commoncrawlnewsdataset_spark.functions.quality import token_count_bpe, token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (functions.quality.quality_score)."""
+    from commoncrawlnewsdataset_spark.functions.quality import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+ORACLE_QUALITY_SCORE = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS DOUBLE) AS wc,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha
+  FROM documents
+)
+SELECT doc_id,
+       round(greatest(least(
+         (CASE WHEN wc >= 50 AND wc <= 10000 THEN 1.0 ELSE least(wc / 50.0, 1.0) * 0.5 END) * 0.5
+         + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
+         - (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 0.2, 1.0), 0.0), 4) AS quality
+FROM b
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + polynomial rolling hash."""
+    from commoncrawlnewsdataset_spark.functions.quality import (
+        fingerprint_md5,
+        fingerprint_rolling,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_rolling(F.col("text")).alias("fp_roll"),
+    )
+
+
+ORACLE_FINGERPRINTS = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+FROM n
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: min-id survivor per content fingerprint (D1 global form)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+N_MINHASH = 8
+MINHASH_BANDS = 4
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (unigram shingles) — md5-based, oracle-checkable."""
+    from commoncrawlnewsdataset_spark.operators.dedup import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", minhash_signature(F.col("text"), N_MINHASH, k=1)).alias("sig"),
+    )
+
+
+def _oracle_minhash_sigs() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(toks, s -> md5('{i}:' || s)))" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE concat_ws('|', {mins}) END AS sig
+FROM t
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded bucket join, SURVEY D-family scale path)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=N_MINHASH, bands=MINHASH_BANDS, k=1,
+        bucket_cap=1_000_000,  # exact (uncapped) for oracle parity at test SFs
+    )
+
+
+def _oracle_minhash_pairs() -> str:
+    rpb = N_MINHASH // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        parts = " || '|' || ".join(
+            f"list_min(list_transform(toks, s -> md5('{b * rpb + r}:' || s)))"
+            for r in range(rpb)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM t WHERE len(toks) > 0")
+    buckets = " UNION ALL ".join(bands)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), buckets AS ({buckets})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM buckets x JOIN buckets y USING (band, bucket)
+WHERE x.doc_id < y.doc_id
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit here to keep the oracle SQL finite; the
+    operator itself defaults to 32 and scales to 64)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), SIMHASH_BITS).alias("simhash"))
+
+
+def _oracle_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)), (a, x) -> a + x) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, toks,
+         list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS th
+  FROM t
+)
+SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE {bit_terms} END AS simhash
+FROM h
+"""
+
+
+JACCARD_THRESHOLD = 0.62
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs via inverted-index self-join."""
+    from commoncrawlnewsdataset_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=1, threshold=JACCARD_THRESHOLD, shingle_cap=1_000_000
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS sh
+  FROM documents
+), p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+  FROM s x JOIN s y ON x.doc_id < y.doc_id
+  WHERE len(x.sh) > 0 AND len(y.sh) > 0
+)
+SELECT a, b, jaccard FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_doc_source_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 anti-join shape: docs whose source is NOT in the exclusion dim
+    (broadcast left_anti; ref 03_extract_text.py:45-46)."""
+    docs = _t(spark, sf_dir, "documents")
+    excl = docs.sparkSession.createDataFrame(
+        [("src1",), ("src2",), ("src3",)], ["country_code"]
+    )
+    from commoncrawlnewsdataset_spark.operators.filters import anti_join_tld_exclusions
+
+    return (
+        anti_join_tld_exclusions(docs.withColumnRenamed("source", "tld"), excl)
+        .groupBy("tld")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DOC_ANTIJOIN = """
+SELECT source AS tld, count(*) AS n_docs FROM documents
+WHERE source NOT IN ('src1', 'src2', 'src3')
+GROUP BY source
+"""
+
+
+def q_hashed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 star-schema key: sha256 -> mod 2**63-1, pure-SQL fold both engines
+    (bit-exact with the reference's Python bigint, tests/test_functions.py)."""
+    from commoncrawlnewsdataset_spark.functions.hashes import hashed_id_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", hashed_id_sql(F.col("doc_id").cast("string")).alias("hashed_id")
+    )
+
+
+ORACLE_HASHED_IDS = """
+WITH h AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+SELECT doc_id,
+  CAST((((((((('0x' || substr(hx,  1, 16))::UBIGINT::UHUGEINT % 9223372036854775807) * 2
+    + ('0x' || substr(hx, 17, 16))::UBIGINT::UHUGEINT) % 9223372036854775807) * 2
+    + ('0x' || substr(hx, 33, 16))::UBIGINT::UHUGEINT) % 9223372036854775807) * 2
+    + ('0x' || substr(hx, 49, 16))::UBIGINT::UHUGEINT) % 9223372036854775807) AS BIGINT) AS hashed_id
+FROM h
+"""
+
+
+# =========================================================================
+# Vector queries over `embeddings` (SURVEY §2.11)
+# =========================================================================
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Deterministic query vector: the embedding of the min vec_id row."""
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 exact ANN baseline: brute-force cosine top-k (TakeOrderedAndProject)."""
+    from commoncrawlnewsdataset_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 1
+)
+SELECT vec_id,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i])), (a,x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,x) -> a + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(q.qv, x -> x * x)), (a,x) -> a + x))), 4) AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+# synthetic embeddings are near-orthogonal (max in-label cosine ≈ 0.47 at
+# sf0.01); 0.35 keeps the near-dup check non-trivial at test scale
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (exact within block)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import cosine_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs_blocked(emb, threshold=COSINE_DUP_THRESHOLD)
+
+
+ORACLE_COSINE_DUPS = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i])), (s,t) -> s + t)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(x.v, t -> t*t)), (s,t) -> s + t))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(y.v, t -> t*t)), (s,t) -> s + t))), 4) AS cos
+  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+)
+SELECT a, b, cos FROM p WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2+A6: global per-dim min/max calibration + affine int8 quantization
+    (09_embedding_transformation.py:15-19), summarized per vector."""
+    from commoncrawlnewsdataset_spark.operators.quantize import (
+        calibration_ranges,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = calibration_ranges(emb)
+    q = emb.select("vec_id", quantize_int8(F.col("embedding"), lo, hi).alias("q"))
+    return q.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+ORACLE_INT8 = """
+WITH flat AS (
+  SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) i(i)
+), ranges AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim
+), q AS (
+  SELECT f.vec_id,
+         CAST(trunc(CASE WHEN r.hi - r.lo <> 0
+                         THEN (f.v - r.lo) / (r.hi - r.lo) * 255.0 - 128.0
+                         ELSE -128.0 END) AS BIGINT) AS qv
+  FROM flat f JOIN ranges r USING (dim)
+)
+SELECT vec_id, sum(qv) AS q_sum, CAST(min(qv) AS INTEGER) AS q_min, CAST(max(qv) AS INTEGER) AS q_max
+FROM q GROUP BY vec_id
+"""
+
+
+def q_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: sign-bit binary quantization + MSB-first byte packing summary."""
+    from commoncrawlnewsdataset_spark.operators.quantize import (
+        pack_binary_bytes,
+        quantize_binary_bits,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            quantize_binary_bits(F.col("embedding")), F.lit(0), lambda a, x: a + x
+        ).alias("n_positive"),
+        pack_binary_bytes(F.col("embedding"))[0].alias("first_byte"),
+    )
+
+
+ORACLE_BINARY = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       list_reduce(list_prepend(0, list_transform(list_slice(embedding, 1, 8),
+                   x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b) AS first_byte
+FROM embeddings
+"""
+
+
+# =========================================================================
+# Frontier-semantics queries (north_rule), phrased over the oracle views by
+# synthesizing a deterministic seed list from `orders`.
+# =========================================================================
+
+_URL_SQL = "concat('https://h', CAST(o_custkey % 50 AS STRING), '.example.org/o/', CAST(o_orderkey AS STRING))"
+_URL_DUCK = "concat('https://h', CAST(o_custkey % 50 AS VARCHAR), '.example.org/o/', CAST(o_orderkey AS VARCHAR))"
+PER_HOST_BUDGET = 10
+
+
+def _seed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.expr(_URL_SQL).alias("url"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"), F.lit(".example.org")).alias("host"),
+        F.round(F.col("o_totalprice"), 4).alias("priority"),
+        F.col("o_orderkey").alias("seed_key"),
+    )
+
+
+def q_politeness_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 politeness-budgeted priority queue: per-host window rank, keep
+    rn <= budget, deterministic tie-breaks (priority desc, url) — the
+    generalization of the reference's global 10-worker budget
+    (01_download_newscrawl.py:95-96)."""
+    seeds = _seed_frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
+    return (
+        seeds.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PER_HOST_BUDGET)
+        .select("host", "url", "priority", "rn")
+    )
+
+
+ORACLE_POLITENESS = f"""
+WITH seeds AS (
+  SELECT {_URL_DUCK} AS url,
+         concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+         round(o_totalprice, 4) AS priority
+  FROM orders
+)
+SELECT host, url, priority, rn FROM (
+  SELECT host, url, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn
+  FROM seeds
+) WHERE rn <= {PER_HOST_BUDGET}
+"""
+
+
+def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 URL-seen semantics: seeds anti-join fetched set (exact backstop of
+    the bloom pre-filter), counted per host."""
+    seeds = _seed_frontier(spark, sf_dir)
+    fetched = seeds.filter(F.col("seed_key") % 2 == 0).select("url")
+    return (
+        seeds.join(fetched, "url", "left_anti")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_new"))
+    )
+
+
+ORACLE_URL_SEEN = f"""
+WITH seeds AS (
+  SELECT {_URL_DUCK} AS url,
+         concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+         o_orderkey AS seed_key
+  FROM orders
+)
+SELECT host, count(*) AS n_new FROM seeds
+WHERE url NOT IN (SELECT url FROM seeds WHERE seed_key % 2 = 0)
+GROUP BY host
+"""
+
+
+def q_robots_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots gating (north_rule; absent in reference): broadcast anti-join of
+    seeds against per-host disallow prefixes."""
+    seeds = _seed_frontier(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [("h1.example.org", "/o/1"), ("h7.example.org", "/o/"), ("h13.example.org", "/o/2")],
+        ["host", "path_prefix"],
+    )
+    path = F.regexp_replace(F.col("url"), r"^https://[^/]+", "")
+    gated = seeds.withColumn("path", path).join(
+        F.broadcast(rules),
+        (seeds.host == rules.host) & F.col("path").startswith(rules.path_prefix),
+        "left_anti",
+    )
+    return gated.groupBy(seeds.host.alias("host")).agg(F.count("*").alias("n_allowed"))
+
+
+ORACLE_ROBOTS = f"""
+WITH seeds AS (
+  SELECT {_URL_DUCK} AS url,
+         concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host
+  FROM orders
+), rules AS (
+  SELECT * FROM (VALUES ('h1.example.org', '/o/1'), ('h7.example.org', '/o/'),
+                        ('h13.example.org', '/o/2')) r(host, path_prefix)
+)
+SELECT host, count(*) AS n_allowed FROM seeds s
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.host = s.host
+    AND starts_with(regexp_replace(s.url, '^https://[^/]+', ''), r.path_prefix)
+)
+GROUP BY host
+"""
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # relational conformance
+        "pricing_summary": q_pricing_summary,
+        "star_join_topn": q_star_join_topn,
+        "monthly_orders": q_monthly_orders,
+        "value_counts_topk": q_value_counts_topk,
+        "group_topk": q_group_topk,
+        "having_active_users": q_having_active_users,
+        "countdistinct_per_group": q_countdistinct_per_group,
+        "month_filter_count": q_month_filter_count,
+        "sessionize": q_sessionize,
+        # corpus / text analysis
+        "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "doc_source_antijoin": q_doc_source_antijoin,
+        "hashed_ids": q_hashed_ids,
+        # vectors
+        "cosine_topk": q_cosine_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "int8_quantize": q_int8_quantize,
+        "binary_quantize": q_binary_quantize,
+        # frontier semantics
+        "politeness_wave": q_politeness_wave,
+        "url_seen_antijoin": q_url_seen_antijoin,
+        "robots_gating": q_robots_gating,
+    }
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        "pricing_summary": ORACLE_PRICING,
+        "star_join_topn": ORACLE_STAR_JOIN,
+        "monthly_orders": ORACLE_MONTHLY,
+        "value_counts_topk": ORACLE_VALUE_COUNTS,
+        "group_topk": ORACLE_GROUP_TOPK,
+        "having_active_users": ORACLE_HAVING,
+        "countdistinct_per_group": ORACLE_COUNTDISTINCT,
+        "month_filter_count": ORACLE_MONTH_FILTER,
+        "sessionize": ORACLE_SESSIONIZE,
+        "text_stats": ORACLE_TEXT_STATS,
+        "quality_filter": ORACLE_QUALITY_FILTER,
+        "lang_id": _oracle_langid(),
+        "token_counts": ORACLE_TOKEN_COUNTS,
+        "quality_score": ORACLE_QUALITY_SCORE,
+        "fingerprints": ORACLE_FINGERPRINTS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "minhash_signatures": _oracle_minhash_sigs(),
+        "minhash_lsh_pairs": _oracle_minhash_pairs(),
+        "simhash": _oracle_simhash(),
+        "jaccard_pairs": ORACLE_JACCARD,
+        "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
+        "hashed_ids": ORACLE_HASHED_IDS,
+        "cosine_topk": ORACLE_COSINE_TOPK,
+        "cosine_dup_pairs": ORACLE_COSINE_DUPS,
+        "int8_quantize": ORACLE_INT8,
+        "binary_quantize": ORACLE_BINARY,
+        "politeness_wave": ORACLE_POLITENESS,
+        "url_seen_antijoin": ORACLE_URL_SEEN,
+        "robots_gating": ORACLE_ROBOTS,
+    }

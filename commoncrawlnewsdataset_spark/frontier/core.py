@@ -1,0 +1,156 @@
+"""Frontier core: canonical URL keys and the URL-seen filter.
+
+URL-seen at 10^10 scale (north_star): a partitioned Bloom pre-filter plus an
+exact anti-join backstop.
+
+- Keys: murmur3 (Spark's built-in ``hash``) over the canonical URL
+  (functions.urls.canonicalize_url).  All bloom bit positions are derived
+  JVM-side as columns (seeded re-hashes), so the Python side only ever sees
+  integer positions — no Python hashing of URLs.
+- Build: fetched keys -> `num_shards` shards by pmod(url_hash) -> one bitset
+  per shard built with applyInPandas (numpy bitwise, Arrow-batched).  Shard
+  bitsets are small (m_bits/8 bytes each) and independent, so at 10^10 URLs
+  you scale shards out instead of one giant filter; the shard table is
+  broadcast to probe.
+- Probe: candidate urls compute the same positions, join their shard's bitset
+  (broadcast hash join), test bits vectorized.  Possibly-seen survivors go to
+  the EXACT anti-join against the fetched set — bloom false positives can
+  therefore never drop a URL; the bloom only shrinks the anti-join's left
+  side (typically by ~99% for revisit-heavy frontiers).
+
+The reference's equivalent is `os.path.exists` per file
+(01_download_newscrawl.py:88-90).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+from commoncrawlnewsdataset_spark.functions.urls import canonicalize_url, host_of, url_hash
+
+BLOOM_K = 5  # hash functions per key
+
+
+def with_frontier_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """canonical url, murmur3 key, host — the frontier's identity columns."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.withColumn("url", canon)
+        .withColumn("url_hash", url_hash(F.col("url")))
+        .withColumn("host", host_of(F.col("url")))
+    )
+
+
+def _bit_positions(url_col: str, m_bits: int) -> list:
+    """k seeded murmur3 positions per url, computed as JVM columns."""
+    return [
+        F.pmod(F.hash(F.concat(F.lit(f"bloom{i}:"), F.col(url_col))), F.lit(m_bits))
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_num_bits(expected: int, fpp: float = 0.01) -> int:
+    if expected <= 0:
+        return 64
+    m = -expected * math.log(fpp) / (math.log(2) ** 2)
+    return max(64, int(m))
+
+
+BLOOM_SHARD_SCHEMA = StructType(
+    [StructField("shard", IntegerType()), StructField("bits", BinaryType())]
+)
+
+
+def build_bloom_shards(
+    fetched: DataFrame,
+    url_col: str = "url",
+    num_shards: int = 16,
+    m_bits_per_shard: int | None = None,
+    expected_per_shard: int = 1_000_000,
+) -> DataFrame:
+    """Partitioned bloom build: one bitset per shard via applyInPandas."""
+    m = m_bits_per_shard or bloom_num_bits(expected_per_shard)
+    pos = F.array(*_bit_positions(url_col, m))
+    by_shard = fetched.select(
+        F.pmod(F.hash(F.col(url_col)), F.lit(num_shards)).alias("shard"),
+        pos.alias("pos"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        if len(pdf):
+            all_pos = np.concatenate(pdf["pos"].values).astype(np.int64)
+            np.bitwise_or.at(bits, all_pos // 8, (1 << (all_pos % 8)).astype(np.uint8))
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]})
+
+    return by_shard.groupBy("shard").applyInPandas(_build, BLOOM_SHARD_SCHEMA)
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom_shards: DataFrame,
+    url_col: str = "url",
+    num_shards: int = 16,
+    m_bits_per_shard: int | None = None,
+    expected_per_shard: int = 1_000_000,
+) -> DataFrame:
+    """Adds ``maybe_seen: boolean``.  False => definitely-new (bloom has no
+    false negatives); True => must be confirmed by the exact anti-join."""
+    m = m_bits_per_shard or bloom_num_bits(expected_per_shard)
+    pos = F.array(*_bit_positions(url_col, m))
+    probed = candidates.withColumn(
+        "_shard", F.pmod(F.hash(F.col(url_col)), F.lit(num_shards)).cast("int")
+    ).withColumn("_pos", pos)
+    joined = probed.join(
+        F.broadcast(bloom_shards.withColumnsRenamed({"shard": "_shard", "bits": "_bits"})),
+        "_shard",
+        "left",
+    )
+
+    @F.pandas_udf("boolean")
+    def _test(bits: pd.Series, positions: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[int, np.ndarray] = {}
+        for b, ps in zip(bits, positions):
+            if b is None:
+                out.append(False)
+                continue
+            key = id(b)
+            arr = cache.get(key)
+            if arr is None:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                cache[key] = arr
+            p = np.asarray(ps, dtype=np.int64)
+            out.append(bool(np.all(arr[p // 8] & (1 << (p % 8)).astype(np.uint8))))
+        return pd.Series(out)
+
+    return joined.withColumn("maybe_seen", _test(F.col("_bits"), F.col("_pos"))).drop(
+        "_shard", "_pos", "_bits"
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    fetched: DataFrame,
+    url_col: str = "url",
+    use_bloom: bool = True,
+    num_shards: int = 16,
+) -> DataFrame:
+    """D2 at scale: definitely-new rows skip the anti-join entirely; only
+    bloom-positive rows are checked exactly.  Output is provably identical to
+    a plain anti-join (bloom has no false negatives; positives are verified)."""
+    fetched_urls = fetched.select(url_col).distinct()
+    if not use_bloom:
+        return candidates.join(fetched_urls, url_col, "left_anti")
+    shards = build_bloom_shards(fetched_urls, url_col, num_shards)
+    probed = bloom_probe(candidates, shards, url_col, num_shards)
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = needs_check.join(fetched_urls, url_col, "left_anti")
+    return definitely_new.unionByName(confirmed_new)

@@ -1,0 +1,59 @@
+"""Per-host politeness-budgeted priority queue (SURVEY §2.10; north_star).
+
+Generalizes the reference's global 10-worker budget
+(01_download_newscrawl.py:95-96) to a per-host budget, skew-safe:
+
+Phase 1 (salted local rank): repartition by (host, salt) where
+salt = pmod(murmur3(url), nsalt), rank within (host, salt), keep
+rn <= budget.  A host with 10^8 pending URLs is spread over `nsalt`
+partitions; each keeps at most `budget` rows, so phase 2's input per host is
+<= budget * nsalt — bounded regardless of skew.
+
+Phase 2 (exact rank): re-rank the survivors per host, keep rn <= budget.
+The global top-`budget` rows of a host are each top-`budget` within their
+salt, so the two-phase result is exactly the single-window result — proven
+by tests/test_frontier.py::test_salting_invariance.
+
+Deterministic total order everywhere: (priority DESC, discovered_ts, url) —
+required to reproduce crawl ordering exactly (north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def order_cols():
+    """Deterministic total order (requires an active session to build Columns)."""
+    return [F.desc("priority"), F.asc("discovered_ts"), F.asc("url")]
+
+
+def politeness_rank(
+    pending: DataFrame,
+    per_host_budget: int,
+    nsalt: int = 8,
+) -> DataFrame:
+    """Select the wave: per-host top-`budget` by (priority desc, ts, url),
+    with salted pre-ranking to defeat host skew.  Adds `rank` (1-based,
+    per host) to the selected rows."""
+    salted = pending.withColumn("_salt", F.pmod(F.hash("url"), F.lit(nsalt)))
+    w_local = Window.partitionBy("host", "_salt").orderBy(*order_cols())
+    survivors = (
+        salted.repartition(F.col("host"), F.col("_salt"))
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= per_host_budget)
+        .drop("_rn", "_salt")
+    )
+    w_host = Window.partitionBy("host").orderBy(*order_cols())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_host))
+        .filter(F.col("rank") <= per_host_budget)
+    )
+
+
+def wave_order(selected: DataFrame) -> DataFrame:
+    """Deterministic global fetch order within a wave: interleave hosts by
+    per-host rank first (fair scheduling), then the total order columns.
+    Adds `wave_seq` (1-based global sequence)."""
+    w = Window.orderBy(F.asc("rank"), *order_cols())
+    return selected.withColumn("wave_seq", F.row_number().over(w))

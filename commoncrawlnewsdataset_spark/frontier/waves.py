@@ -1,0 +1,267 @@
+"""Crawl-wave loop: snapshot checkpoints, fetch stage, lineage metrics, resume.
+
+Storage model (sandbox): an append-only log of per-wave delta parquet dirs +
+a JSON manifest per wave —
+
+    state_dir/
+      wave=00000/delta.parquet   seed load (status=pending)
+      wave=00001/delta.parquet   wave-1 outcomes + newly discovered urls
+      wave=00001/manifest.json   counts, per-partition lineage, per-host stats
+      ...
+
+Current frontier state = latest record per url across deltas (window by
+wave desc).  This is exactly Iceberg's snapshot/append model expressed on
+plain parquet because no Iceberg runtime jars ship in this container; in
+production the same class points at an Iceberg catalog: delta append ->
+`writeTo(...).append()`, latest-record resolution -> `MERGE INTO`, manifest
+-> Iceberg snapshot summary + a wave_metrics table.  Nothing is ever
+rewritten or deleted (the reference *deletes* consumed inputs,
+02_extract_newscrawl.py:58-60 — non-resumable by design; we keep lineage).
+
+Resume = construct WaveRunner on the same state_dir: it continues from the
+max committed wave (north_rule: "resumes mid-crawl from any snapshot").
+An interrupted wave leaves no manifest, so its partial delta is ignored and
+the wave re-runs idempotently.
+
+The fetch stage is a mapInPandas batch with retry/backoff semantics inside
+the Arrow UDF (S2: 5 retries, exponential backoff from 10s,
+01_download_newscrawl.py:51-69); failures become status='failed' rows, never
+exceptions.  The default fetcher simulates the network deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from commoncrawlnewsdataset_spark.frontier.core import filter_unseen, with_frontier_keys
+from commoncrawlnewsdataset_spark.frontier.politeness import politeness_rank, wave_order
+from commoncrawlnewsdataset_spark.frontier.robots import gate_by_robots
+
+FETCH_RESULT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("ok", StringType()),
+        StructField("attempts", IntegerType()),
+        StructField("content_length", LongType()),
+    ]
+)
+
+
+def simulated_fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
+    """Deterministic stand-in for the HTTP fetch (no network in sandbox):
+    ~1/13 of urls hard-fail after max_retries; ~1/7 succeed on attempt 2.
+    Returns (ok, attempts, content_length).  crc32, not hash(): Python string
+    hashing is process-salted and would differ across executors."""
+    import zlib
+
+    h = zlib.crc32(url.encode()) & 0x7FFFFFFF
+    if h % 13 == 0:
+        return False, max_retries, 0
+    if h % 7 == 0:
+        return True, 2, 1000 + h % 50_000
+    return True, 1, 1000 + h % 50_000
+
+
+@dataclass
+class WaveRunner:
+    spark: SparkSession
+    state_dir: str
+    per_host_budget: int = 10
+    nsalt: int = 8
+    use_bloom: bool = True
+    use_robots: bool = True
+    max_retries: int = 5
+    fetcher: Callable[[str, int], tuple[bool, int, int]] | None = None
+    robots_rules: DataFrame | None = None
+
+    # ---- snapshot log -----------------------------------------------------
+
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self.state_dir, f"wave={wave:05d}")
+
+    def committed_waves(self) -> list[int]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        waves = []
+        for d in sorted(os.listdir(self.state_dir)):
+            if d.startswith("wave="):
+                w = int(d.split("=")[1])
+                if w == 0 or os.path.exists(os.path.join(self.state_dir, d, "manifest.json")):
+                    waves.append(w)
+        return waves
+
+    def last_wave(self) -> int:
+        waves = self.committed_waves()
+        return max(waves) if waves else -1
+
+    def _write_delta(self, df: DataFrame, wave: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(self._wave_dir(wave), "delta.parquet"))
+
+    def _commit(self, wave: int, manifest: dict) -> None:
+        path = os.path.join(self._wave_dir(wave), "manifest.json")
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+
+    def read_manifest(self, wave: int) -> dict:
+        with open(os.path.join(self._wave_dir(wave), "manifest.json")) as f:
+            return json.load(f)
+
+    def state(self, upto_wave: int | None = None) -> DataFrame:
+        """Latest record per url across committed deltas (snapshot read).
+        `upto_wave` gives time travel to any snapshot (resume semantics)."""
+        waves = self.committed_waves()
+        if upto_wave is not None:
+            waves = [w for w in waves if w <= upto_wave]
+        paths = [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
+        log = self.spark.read.parquet(*paths)
+        w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
+        return log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # ---- seed load (wave 0) ----------------------------------------------
+
+    def load_seeds(self, seeds: DataFrame) -> None:
+        """S1 frontier bootstrap: canonicalize, key, dedup (first discovery
+        wins by priority desc then url), status=pending, wave=0."""
+        keyed = with_frontier_keys(seeds)
+        w = Window.partitionBy("url").orderBy(F.desc("priority"), F.asc("discovered_ts"))
+        deduped = keyed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        delta = deduped.select(
+            "url", "url_hash", "host",
+            F.lit("pending").alias("status"),
+            F.col("priority").cast("double"),
+            F.lit(0).alias("wave"),
+            F.lit(0).alias("attempts"),
+            F.col("discovered_ts").cast("timestamp"),
+        )
+        self._write_delta(delta, 0)
+
+    # ---- one wave ----------------------------------------------------------
+
+    def select_wave(self, state: DataFrame) -> DataFrame:
+        """Politeness-budgeted, robots-gated, dedup-guarded wave selection."""
+        pending = state.filter(F.col("status") == "pending")
+        if self.use_robots and self.robots_rules is not None:
+            pending = gate_by_robots(pending, self.robots_rules)
+        fetched = state.filter(F.col("status") == "fetched").select("url")
+        unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
+        return wave_order(politeness_rank(unseen, self.per_host_budget, self.nsalt))
+
+    def _fetch(self, selected: DataFrame) -> DataFrame:
+        fetcher = self.fetcher or simulated_fetch
+        max_retries = self.max_retries
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ok, att, clen = [], [], []
+                for u in pdf["url"]:
+                    o, a, c = fetcher(u, max_retries)
+                    ok.append("1" if o else "0")
+                    att.append(a)
+                    clen.append(c)
+                yield pd.DataFrame(
+                    {"url": pdf["url"], "ok": ok, "attempts": att, "content_length": clen}
+                )
+
+        return selected.select("url").mapInPandas(gen, FETCH_RESULT_SCHEMA)
+
+    def run_wave(self) -> dict:
+        """Execute the next wave; returns its manifest (committed atomically:
+        delta parquet first, manifest last)."""
+        wave = self.last_wave() + 1
+        t0 = time.time()
+        state = self.state()
+        selected = self.select_wave(state).cache()
+        n_selected = selected.count()
+        if n_selected == 0:
+            manifest = {"wave": wave, "n_selected": 0, "done": True,
+                        "elapsed_s": time.time() - t0}
+            self._write_delta(
+                self.spark.createDataFrame([], self.state(upto_wave=0).schema), wave
+            )
+            self._commit(wave, manifest)
+            selected.unpersist()
+            return manifest
+
+        results = self._fetch(selected)
+        outcome = selected.drop("attempts", "wave", "status").join(results, "url").select(
+            "url", "url_hash", "host",
+            F.when(F.col("ok") == "1", "fetched").otherwise("failed").alias("status"),
+            F.col("priority").cast("double"),
+            F.lit(wave).alias("wave"),
+            F.col("attempts"),
+            F.col("discovered_ts").cast("timestamp"),
+        ).cache()
+
+        # per-partition lineage + per-host metrics (north_rule: "checkpoints
+        # each crawl wave ... with per-partition lineage and fetch/dedup metrics")
+        part_metrics = [
+            r.asDict()
+            for r in outcome.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        status_counts = {
+            r["status"]: r["n"]
+            for r in outcome.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        host_stats = [
+            r.asDict()
+            for r in outcome.groupBy("host")
+            .agg(F.count("*").alias("n"), F.sum("attempts").alias("attempts"))
+            .orderBy(F.desc("n"), "host")
+            .limit(20)
+            .collect()
+        ]
+
+        self._write_delta(outcome, wave)
+        elapsed = time.time() - t0
+        manifest = {
+            "wave": wave,
+            "n_selected": n_selected,
+            "n_fetched": status_counts.get("fetched", 0),
+            "n_failed": status_counts.get("failed", 0),
+            "per_partition_rows": part_metrics,
+            "top_hosts": host_stats,
+            "elapsed_s": elapsed,
+            "urls_per_sec": n_selected / elapsed if elapsed > 0 else None,
+            "done": False,
+        }
+        self._commit(wave, manifest)
+        selected.unpersist()
+        outcome.unpersist()
+        return manifest
+
+    def run(self, max_waves: int = 100) -> list[dict]:
+        """Wave loop until the frontier drains (or max_waves)."""
+        manifests = []
+        for _ in range(max_waves):
+            m = self.run_wave()
+            manifests.append(m)
+            if m.get("done"):
+                break
+        return manifests
+
+    def crawl_order(self) -> list[str]:
+        """Total fetch order across committed waves (wave, then wave_seq
+        re-derived from the deterministic ordering contract)."""
+        fetched = (
+            self.state()
+            .filter(F.col("status").isin("fetched", "failed"))
+            .orderBy("wave", F.desc("priority"), F.asc("discovered_ts"), F.asc("url"))
+        )
+        return [r["url"] for r in fetched.select("url").collect()]

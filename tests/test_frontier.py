@@ -1,0 +1,186 @@
+"""Frontier tests: reference-scheduler parity, URL-seen correctness, salting
+invariance, robots gating, resume equivalence, dedup idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.frontier.core import (
+    build_bloom_shards,
+    bloom_probe,
+    filter_unseen,
+    with_frontier_keys,
+)
+from commoncrawlnewsdataset_spark.frontier.politeness import politeness_rank
+from commoncrawlnewsdataset_spark.frontier.robots import gate_by_robots, parse_robots_txt
+from commoncrawlnewsdataset_spark.frontier.simulate import ReferenceSchedulerModel
+from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+from commoncrawlnewsdataset_spark.schemas import SEEDS_SCHEMA
+from commoncrawlnewsdataset_spark.synth import make_seeds_pdf
+
+
+def _seeds_df(spark, n=200, seed=7):
+    return spark.createDataFrame(make_seeds_pdf(n, seed), SEEDS_SCHEMA)
+
+
+def _parity_seeds(spark, urls):
+    """Reference-parity shape: constant priority, discovered_ts = seed index
+    (FIFO total order), single virtual host handled by the budget."""
+    rows = [
+        (u, 1.0, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i))
+        for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(rows, SEEDS_SCHEMA)
+
+
+def test_reference_scheduler_parity(spark, tmp_path):
+    """north_rule: identical fetched set AND identical wave chunking/order as
+    the reference scheduler under the same seed list + budget."""
+    urls = [f"https://cc.example.org/warc/{i:04d}" for i in range(53)]
+    urls[7] = urls[3]  # duplicate seed -> exists-skip path
+    model = ReferenceSchedulerModel(budget=10)
+    expected_order, expected_waves = model.run(urls)
+
+    runner = WaveRunner(
+        spark, str(tmp_path / "state"), per_host_budget=10, nsalt=4,
+        use_robots=False,
+        fetcher=lambda u, r: (True, 1, 100),  # parity mode: all fetches succeed
+    )
+    runner.load_seeds(_parity_seeds(spark, urls))
+    manifests = runner.run(max_waves=20)
+
+    fetched_waves = []
+    for m in manifests:
+        if m.get("done"):
+            break
+        delta = spark.read.parquet(
+            f"{tmp_path}/state/wave={m['wave']:05d}/delta.parquet"
+        )
+        wave_urls = [
+            r["url"]
+            for r in delta.orderBy(F.desc("priority"), "discovered_ts", "url")
+            .select("url").collect()
+        ]
+        fetched_waves.append(wave_urls)
+
+    assert fetched_waves == expected_waves
+    assert [u for w in fetched_waves for u in w] == expected_order
+    # URL-seen set identical
+    got_fetched = {
+        r["url"]
+        for r in runner.state().filter(F.col("status") == "fetched").collect()
+    }
+    assert got_fetched == set(expected_order)
+
+
+def test_politeness_budget_and_determinism(spark):
+    seeds = with_frontier_keys(_seeds_df(spark, 300))
+    ranked = politeness_rank(seeds.withColumn("status", F.lit("pending")), 5, nsalt=4)
+    per_host = ranked.groupBy("host").count().collect()
+    assert all(r["count"] <= 5 for r in per_host)
+    # deterministic: two runs give identical selections
+    a = sorted(r["url"] for r in ranked.select("url").collect())
+    b = sorted(r["url"] for r in politeness_rank(
+        seeds.withColumn("status", F.lit("pending")), 5, nsalt=4).select("url").collect())
+    assert a == b
+
+
+def test_salting_invariance(spark):
+    """Salting changes partitioning, never the selected set (SURVEY §7)."""
+    seeds = with_frontier_keys(_seeds_df(spark, 400, seed=21))
+    sel1 = sorted(r["url"] for r in politeness_rank(seeds, 7, nsalt=1).select("url").collect())
+    sel8 = sorted(r["url"] for r in politeness_rank(seeds, 7, nsalt=8).select("url").collect())
+    sel32 = sorted(r["url"] for r in politeness_rank(seeds, 7, nsalt=32).select("url").collect())
+    assert sel1 == sel8 == sel32
+
+
+def test_bloom_no_false_negatives_and_exact_backstop(spark):
+    seeds = with_frontier_keys(_seeds_df(spark, 500)).select("url").distinct()
+    fetched = seeds.limit(100)
+    shards = build_bloom_shards(fetched, num_shards=4, m_bits_per_shard=1 << 12)
+    probed = bloom_probe(seeds, shards, num_shards=4, m_bits_per_shard=1 << 12)
+    # every truly-fetched url must be flagged maybe_seen (no false negatives)
+    missed = probed.join(fetched, "url", "left_semi").filter(~F.col("maybe_seen")).count()
+    assert missed == 0
+    # end-to-end: bloom path == plain anti-join (bit-for-bit same url set)
+    with_bloom = sorted(
+        r["url"] for r in filter_unseen(seeds, fetched, use_bloom=True, num_shards=4).select("url").collect()
+    )
+    exact = sorted(
+        r["url"] for r in filter_unseen(seeds, fetched, use_bloom=False).select("url").collect()
+    )
+    assert with_bloom == exact
+
+
+def test_robots_gating(spark):
+    rules_rows = parse_robots_txt(
+        "news1.example.de",
+        "User-agent: *\nDisallow: /crawl/00\nAllow: /crawl/\nCrawl-delay: 2\n",
+    )
+    assert any(not r["allowed"] for r in rules_rows)
+    rules = spark.createDataFrame(rules_rows)
+    seeds = with_frontier_keys(_seeds_df(spark, 300))
+    gated = gate_by_robots(seeds, rules)
+    bad = gated.filter(
+        (F.col("host") == "news1.example.de") & F.col("url").contains("/crawl/00")
+    ).count()
+    assert bad == 0
+    # other hosts untouched
+    assert gated.filter(F.col("host") != "news1.example.de").count() == seeds.filter(
+        F.col("host") != "news1.example.de"
+    ).count()
+
+
+def test_wave_dedup_idempotent_and_resume(spark, tmp_path):
+    """Property tests from SURVEY §5: (a) a url is fetched at most once across
+    waves; (b) resuming from a snapshot reproduces the uninterrupted state."""
+    state_a = str(tmp_path / "a")
+    runner = WaveRunner(spark, state_a, per_host_budget=3, nsalt=4, use_robots=False)
+    runner.load_seeds(_seeds_df(spark, 120, seed=5))
+    runner.run(max_waves=4)  # partial crawl (waves 1..4)
+
+    # resume with a FRESH runner on the same state dir
+    resumed = WaveRunner(spark, state_a, per_host_budget=3, nsalt=4, use_robots=False)
+    assert resumed.last_wave() == runner.last_wave()
+    resumed.run(max_waves=30)
+
+    # uninterrupted control run
+    state_b = str(tmp_path / "b")
+    control = WaveRunner(spark, state_b, per_host_budget=3, nsalt=4, use_robots=False)
+    control.load_seeds(_seeds_df(spark, 120, seed=5))
+    control.run(max_waves=34)
+
+    sa = sorted(
+        (r["url"], r["status"], r["wave"])
+        for r in resumed.state().select("url", "status", "wave").collect()
+    )
+    sb = sorted(
+        (r["url"], r["status"], r["wave"])
+        for r in control.state().select("url", "status", "wave").collect()
+    )
+    assert sa == sb
+
+    # at-most-once: no url appears in two waves' outcomes
+    import collections
+
+    all_outcomes = collections.Counter()
+    for w in resumed.committed_waves():
+        if w == 0:
+            continue
+        delta = spark.read.parquet(f"{state_a}/wave={w:05d}/delta.parquet")
+        for r in delta.select("url").collect():
+            all_outcomes[r["url"]] += 1
+    assert all_outcomes and max(all_outcomes.values()) == 1
+
+
+def test_manifest_metrics(spark, tmp_path):
+    runner = WaveRunner(spark, str(tmp_path / "m"), per_host_budget=5, nsalt=2, use_robots=False)
+    runner.load_seeds(_seeds_df(spark, 80, seed=9))
+    m = runner.run_wave()
+    assert m["n_selected"] == m["n_fetched"] + m["n_failed"]
+    assert m["urls_per_sec"] > 0
+    assert sum(p["rows"] for p in m["per_partition_rows"]) == m["n_selected"]
+    assert runner.read_manifest(m["wave"]) == m

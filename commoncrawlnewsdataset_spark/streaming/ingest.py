@@ -1,0 +1,68 @@
+"""Continuous pages ingest via Structured Streaming.
+
+The reference is pure batch (SURVEY §2.12: no watermarks/state anywhere);
+its nearest analogs are month partitioning (coarse tumbling window) and the
+skip-processed resume (at-least-once micro-batching).  This module provides
+the optional streaming path:
+
+- ``stream_pages``        file-source readStream over a pages directory
+- ``hourly_host_counts``  watermarked tumbling-window aggregation (late data
+                          bounded by the watermark)
+- ``stream_extract_to``   foreachBatch: each micro-batch runs the batch
+                          extraction spine and appends to a sink dir —
+                          exactly the crawl-wave pattern, which is why the
+                          wave loop itself stays batch (per-wave global
+                          barriers: politeness budget, frontier re-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from commoncrawlnewsdataset_spark.schemas import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_host_counts(pages_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling window with late-data bound: pages per host-hour."""
+    from commoncrawlnewsdataset_spark.functions.urls import host_of
+
+    return (
+        pages_stream.withColumn("host", host_of(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("hour"), "host", "n_pages")
+    )
+
+
+def stream_extract_to(
+    pages_stream: DataFrame, sink_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """foreachBatch extraction: reuses the exact batch plan per micro-batch
+    (epoch = micro-batch id, the streaming analog of a crawl wave)."""
+    from commoncrawlnewsdataset_spark.functions.extract import extract_articles
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            extract_articles(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,133 @@
+"""Operator unit tests: dedup family, quantization math, top-k, spatial."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.operators import dedup as D
+from commoncrawlnewsdataset_spark.operators.quantize import (
+    calibration_ranges,
+    pack_binary_bytes,
+    quantize_binary_bits,
+    quantize_int8,
+)
+from commoncrawlnewsdataset_spark.operators.similarity import brute_force_topk, lsh_topk
+from commoncrawlnewsdataset_spark.operators.spatial import (
+    coalesce_nuts,
+    point_in_region_join,
+    with_nuts_prefixes,
+)
+from commoncrawlnewsdataset_spark.operators.topk import group_topk
+from commoncrawlnewsdataset_spark.schemas import NUTS_REGIONS_SCHEMA
+from commoncrawlnewsdataset_spark.synth import make_nuts_pdf
+
+
+def test_minhash_identical_texts_identical_sigs(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", F.concat_ws("|", D.minhash_signature(F.col("text"), 8, 2)).alias("s")).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", 8, 4, k=2).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_near_texts_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(1, base), (2, base + " extra"), (3, "vastly different content entirely unrelated")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r["doc_id"]: r["h"] for r in df.select("doc_id", D.simhash(F.col("text"), 32).alias("h")).collect()}
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_jaccard_pairs_exact(spark):
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["a"], r["b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(df, "doc_id", "text", 1, 0.5).collect()}
+    assert out == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+
+
+def test_drop_exact_dups_keeps_min_id(spark):
+    rows = [(5, "same text"), (2, "same text"), (9, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in D.drop_exact_dups(df, "doc_id", "text").collect())
+    assert kept == [2, 9]
+
+
+def test_quantization_matches_numpy_formulas(spark):
+    """V2/V3 vs the published sentence_transformers quantize_embeddings math
+    (int8: affine with calibration ranges then trunc cast; binary: packbits(x>0))."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    lo, hi = calibration_ranges(df)
+    assert lo == pytest.approx(vecs.min(axis=0).astype(np.float64).tolist())
+    assert hi == pytest.approx(vecs.max(axis=0).astype(np.float64).tolist())
+
+    got = {
+        r["vec_id"]: (r["q"], r["bits"], r["bytes"])
+        for r in df.select(
+            "vec_id",
+            quantize_int8(F.col("embedding"), lo, hi).alias("q"),
+            quantize_binary_bits(F.col("embedding")).alias("bits"),
+            pack_binary_bytes(F.col("embedding")).alias("bytes"),
+        ).collect()
+    }
+    starts = vecs.min(axis=0).astype(np.float64)
+    steps = vecs.max(axis=0).astype(np.float64) - starts
+    expected_q = ((vecs.astype(np.float64) - starts) / steps * 255.0 - 128.0).astype(np.int8)
+    expected_bits = (vecs > 0).astype(np.uint8)
+    expected_bytes = np.packbits(expected_bits, axis=1)  # MSB-first, like the ref
+    for i in range(len(vecs)):
+        assert got[i][0] == expected_q[i].tolist(), i
+        assert got[i][1] == expected_bits[i].tolist(), i
+        assert got[i][2] == expected_bytes[i].tolist(), i
+
+
+def test_brute_force_vs_numpy_topk(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8))
+    q = vecs[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = [r["vec_id"] for r in brute_force_topk(df, [float(x) for x in q], k=5).collect()]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = np.argsort(-np.round(sims, 4), kind="stable")[:5].tolist()
+    assert got == expected
+    # LSH probe returns a subset ranked identically (recall may be < 1)
+    ann = [r["vec_id"] for r in lsh_topk(df, [float(x) for x in q], k=5, n_planes=6, probe_hamming=2).collect()]
+    assert ann[0] == 0  # the query's own vector is always in its own bucket
+    assert set(ann) <= set(np.argsort(-sims)[:50].tolist())
+
+
+def test_group_topk_deterministic(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 9.0), ("b", 4, 1.0)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    out = [(r["g"], r["id"]) for r in group_topk(df, ["g"], "v", 2, "id").orderBy("g", "id").collect()]
+    assert out == [("a", 1), ("a", 2), ("b", 4)]
+
+
+def test_point_in_region_max_level_and_prefixes(spark):
+    regions = spark.createDataFrame(make_nuts_pdf(), NUTS_REGIONS_SCHEMA)
+    pts = spark.createDataFrame(
+        [("berlin", 52.52, 13.405), ("nowhere", 0.0, 0.0), ("mitte-de", 50.0, 10.0)],
+        ["loc_normal", "latitude", "longitude"],
+    )
+    out = {r["loc_normal"]: r for r in point_in_region_join(pts, regions).collect()}
+    assert out["berlin"]["NUTS"] == "DE000"      # level-3 beats the DE rectangle
+    assert out["mitte-de"]["NUTS"] == "DE"       # only country-level matches
+    assert out["nowhere"]["NUTS"] is None        # left join keeps unmatched
+    pref = with_nuts_prefixes(spark.createDataFrame([("DE212",)], ["NUTS"])).first()
+    assert (pref["NUTS0"], pref["NUTS1"], pref["NUTS2"], pref["NUTS3"]) == ("DE", "DE2", "DE21", "DE212")
+    co = coalesce_nuts(
+        spark.createDataFrame([(None, "DE21"), ("DE212", "DE21")], ["NUTS3", "NUTS2"])
+    ).collect()
+    assert [r["NUTS"] for r in co] == ["DE21", "DE212"]

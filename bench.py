@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the BASELINE.json target: frontier URLs
+scheduled+fetched per second (one full crawl wave over a skewed 400k-URL
+synthetic frontier).  Per-query wall times cover the representative operator
+families (agg, star join, windows, UDF metrics, dedup, ANN, quantization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from commoncrawlnewsdataset_spark.benchlib import frontier_wave_bench
+    from commoncrawlnewsdataset_spark.plans.queries import spark_queries
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("ccnews-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "pricing_summary",
+        "star_join_topn",
+        "sessionize",
+        "text_stats",
+        "quality_filter",
+        "lang_id",
+        "dedup_exact",
+        "simhash",
+        "hashed_ids",
+        "cosine_topk",
+        "int8_quantize",
+        "politeness_wave",
+        "url_seen_antijoin",
+    ]
+    registry = spark_queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = registry[name]
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # UDF-heavy stages (not in the oracle registry)
+    import __spark_entry__ as entry_mod
+
+    for name in ["quality_metrics_udf", "minhash_lsh_capped"]:
+        t0 = time.time()
+        if name == "quality_metrics_udf":
+            entry_mod.q_quality_metrics_udf(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        else:
+            from commoncrawlnewsdataset_spark.operators.dedup import minhash_lsh_pairs
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            minhash_lsh_pairs(docs, "doc_id", "text", 8, 4, k=2, bucket_cap=200).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: one full frontier crawl wave
+    wave = frontier_wave_bench(spark, n_urls=400_000)
+    timings["frontier_wave"] = round(wave["elapsed_s"], 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_scheduled_fetched_per_sec",
+                "value": round(wave["urls_per_sec"], 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "frontier": {
+                    "n_urls": wave["n_urls"],
+                    "n_scheduled": wave["n_scheduled"],
+                    "n_fetched": wave["n_fetched"],
+                    "cpus": int(cpus),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

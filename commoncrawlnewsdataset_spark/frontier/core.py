@@ -146,7 +146,9 @@ def filter_unseen(
     bloom-positive rows are checked exactly.  Output is provably identical to
     a plain anti-join (bloom has no false negatives; positives are verified)."""
     fetched_urls = fetched.select(url_col).distinct()
-    if not use_bloom:
+    if not use_bloom or fetched_urls.isEmpty():
+        # first wave / empty seen-set: nothing to probe (anti-join on an
+        # empty right side is a no-op and the bloom build would be pure cost)
         return candidates.join(fetched_urls, url_col, "left_anti")
     shards = build_bloom_shards(fetched_urls, url_col, num_shards)
     probed = bloom_probe(candidates, shards, url_col, num_shards)

@@ -49,13 +49,19 @@ from pyspark.sql.types import (
 )
 
 from commoncrawlnewsdataset_spark.frontier.core import filter_unseen, with_frontier_keys
-from commoncrawlnewsdataset_spark.frontier.politeness import politeness_rank, wave_order
+from commoncrawlnewsdataset_spark.frontier.politeness import politeness_rank
 from commoncrawlnewsdataset_spark.frontier.robots import gate_by_robots
+
+from pyspark.sql.types import BooleanType, DoubleType, TimestampType
 
 FETCH_RESULT_SCHEMA = StructType(
     [
         StructField("url", StringType()),
-        StructField("ok", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("host", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("discovered_ts", TimestampType()),
+        StructField("ok", BooleanType()),
         StructField("attempts", IntegerType()),
         StructField("content_length", LongType()),
     ]
@@ -88,6 +94,10 @@ class WaveRunner:
     max_retries: int = 5
     fetcher: Callable[[str, int], tuple[bool, int, int]] | None = None
     robots_rules: DataFrame | None = None
+    detailed_metrics: bool = True
+    # fetch tasks per core: fine-grained tasks pack the tail of the stage
+    # (a 2-round schedule of coarse tasks leaves cores idle at the end)
+    fetch_tasks_per_core: int = 8
 
     # ---- snapshot log -----------------------------------------------------
 
@@ -153,15 +163,22 @@ class WaveRunner:
     # ---- one wave ----------------------------------------------------------
 
     def select_wave(self, state: DataFrame) -> DataFrame:
-        """Politeness-budgeted, robots-gated, dedup-guarded wave selection."""
+        """Politeness-budgeted, robots-gated, dedup-guarded wave selection.
+
+        No global ordering here: a total wave_seq would be a single-partition
+        window (wave_order is display-only); the deterministic ORDER CONTRACT
+        (priority desc, discovered_ts, url) is what parity relies on."""
         pending = state.filter(F.col("status") == "pending")
         if self.use_robots and self.robots_rules is not None:
             pending = gate_by_robots(pending, self.robots_rules)
         fetched = state.filter(F.col("status") == "fetched").select("url")
         unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
-        return wave_order(politeness_rank(unseen, self.per_host_budget, self.nsalt))
+        return politeness_rank(unseen, self.per_host_budget, self.nsalt)
 
     def _fetch(self, selected: DataFrame) -> DataFrame:
+        """Fetch stage: frontier columns pass straight THROUGH the Arrow UDF,
+        so outcomes need no join back to the selection (one shuffle fewer;
+        the wide `selected` plan is computed exactly once)."""
         fetcher = self.fetcher or simulated_fetch
         max_retries = self.max_retries
 
@@ -170,79 +187,110 @@ class WaveRunner:
                 ok, att, clen = [], [], []
                 for u in pdf["url"]:
                     o, a, c = fetcher(u, max_retries)
-                    ok.append("1" if o else "0")
+                    ok.append(o)
                     att.append(a)
                     clen.append(c)
-                yield pd.DataFrame(
-                    {"url": pdf["url"], "ok": ok, "attempts": att, "content_length": clen}
-                )
+                out = pdf[["url", "url_hash", "host", "priority", "discovered_ts"]].copy()
+                out["ok"] = ok
+                out["attempts"] = att
+                out["content_length"] = clen
+                yield out
 
-        return selected.select("url").mapInPandas(gen, FETCH_RESULT_SCHEMA)
+        # Explicit fan-out: AQE sizes partitions by BYTES, and a wave of URLs
+        # is tiny on disk but expensive per row (network/parse) — without this
+        # repartition AQE coalesces the wave to ~1 partition and the fetch
+        # runs single-threaded.  Fetch parallelism must track cores, not MB.
+        parallelism = self.spark.sparkContext.defaultParallelism * self.fetch_tasks_per_core
+        return (
+            selected.select("url", "url_hash", "host", "priority", "discovered_ts")
+            .repartition(parallelism)
+            .mapInPandas(gen, FETCH_RESULT_SCHEMA)
+        )
 
     def run_wave(self) -> dict:
         """Execute the next wave; returns its manifest (committed atomically:
-        delta parquet first, manifest last)."""
+        delta parquet first, manifest last).
+
+        Driver-job budget per wave (matters at high wave cadence): one
+        isEmpty probe on the seen-set, ONE combined metrics collect
+        (per-partition lineage × status — ~2·numPartitions tiny rows), the
+        delta write, and optionally the top-host stats job.  There is no
+        separate pre-count: emptiness is detected from the metrics."""
         wave = self.last_wave() + 1
         t0 = time.time()
-        state = self.state()
-        selected = self.select_wave(state).cache()
-        n_selected = selected.count()
-        if n_selected == 0:
-            manifest = {"wave": wave, "n_selected": 0, "done": True,
-                        "elapsed_s": time.time() - t0}
-            self._write_delta(
-                self.spark.createDataFrame([], self.state(upto_wave=0).schema), wave
-            )
-            self._commit(wave, manifest)
-            selected.unpersist()
-            return manifest
+        state = self.state().cache()  # one snapshot resolution per wave
+        selected = self.select_wave(state)
 
         results = self._fetch(selected)
-        outcome = selected.drop("attempts", "wave", "status").join(results, "url").select(
+        outcome = results.select(
             "url", "url_hash", "host",
-            F.when(F.col("ok") == "1", "fetched").otherwise("failed").alias("status"),
+            F.when(F.col("ok"), "fetched").otherwise("failed").alias("status"),
             F.col("priority").cast("double"),
             F.lit(wave).alias("wave"),
             F.col("attempts"),
             F.col("discovered_ts").cast("timestamp"),
         ).cache()
 
-        # per-partition lineage + per-host metrics (north_rule: "checkpoints
-        # each crawl wave ... with per-partition lineage and fetch/dedup metrics")
-        part_metrics = [
-            r.asDict()
-            for r in outcome.groupBy(F.spark_partition_id().alias("partition"))
-            .agg(F.count("*").alias("rows"))
+        # per-partition lineage + status counts in ONE pass (north_rule:
+        # "checkpoints each crawl wave ... with per-partition lineage and
+        # fetch/dedup metrics")
+        t_select_built = time.time()
+        lineage = (
+            outcome.groupBy(F.spark_partition_id().alias("partition"), "status")
+            .agg(F.count("*").alias("rows"), F.sum("attempts").alias("attempts"))
             .collect()
-        ]
-        status_counts = {
-            r["status"]: r["n"]
-            for r in outcome.groupBy("status").agg(F.count("*").alias("n")).collect()
-        }
-        host_stats = [
-            r.asDict()
-            for r in outcome.groupBy("host")
-            .agg(F.count("*").alias("n"), F.sum("attempts").alias("attempts"))
-            .orderBy(F.desc("n"), "host")
-            .limit(20)
-            .collect()
-        ]
+        )
+        t_fetched = time.time()
+        n_selected = sum(r["rows"] for r in lineage)
+        if n_selected == 0:
+            manifest = {"wave": wave, "n_selected": 0, "done": True,
+                        "elapsed_s": time.time() - t0}
+            self._write_delta(outcome, wave)
+            self._commit(wave, manifest)
+            outcome.unpersist()
+            state.unpersist()
+            return manifest
 
+        status_counts: dict[str, int] = {}
+        part_rows: dict[int, int] = {}
+        for r in lineage:
+            status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["rows"]
+            part_rows[r["partition"]] = part_rows.get(r["partition"], 0) + r["rows"]
+        host_stats = []
+        if self.detailed_metrics:
+            host_stats = [
+                r.asDict()
+                for r in outcome.groupBy("host")
+                .agg(F.count("*").alias("n"), F.sum("attempts").alias("attempts"))
+                .orderBy(F.desc("n"), "host")
+                .limit(20)
+                .collect()
+            ]
+
+        t_stats = time.time()
         self._write_delta(outcome, wave)
         elapsed = time.time() - t0
         manifest = {
             "wave": wave,
+            "phase_s": {
+                "plan": round(t_select_built - t0, 3),
+                "select_fetch_metrics": round(t_fetched - t_select_built, 3),
+                "host_stats": round(t_stats - t_fetched, 3),
+                "write": round(time.time() - t_stats, 3),
+            },
             "n_selected": n_selected,
             "n_fetched": status_counts.get("fetched", 0),
             "n_failed": status_counts.get("failed", 0),
-            "per_partition_rows": part_metrics,
+            "per_partition_rows": [
+                {"partition": p, "rows": n} for p, n in sorted(part_rows.items())
+            ],
             "top_hosts": host_stats,
             "elapsed_s": elapsed,
             "urls_per_sec": n_selected / elapsed if elapsed > 0 else None,
             "done": False,
         }
         self._commit(wave, manifest)
-        selected.unpersist()
+        state.unpersist()
         outcome.unpersist()
         return manifest
 

@@ -69,7 +69,9 @@ def main() -> None:
             from commoncrawlnewsdataset_spark.operators.dedup import minhash_lsh_pairs
 
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            minhash_lsh_pairs(docs, "doc_id", "text", 8, 4, k=2, bucket_cap=200).write.format(
+            # k=3 shingles + tight cap: production-shaped parameters (the
+            # synthetic 40-word vocab makes k<=2 shingles degenerate-hot)
+            minhash_lsh_pairs(docs, "doc_id", "text", 8, 4, k=3, bucket_cap=64).write.format(
                 "noop"
             ).mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -114,28 +114,36 @@ def minhash_lsh_pairs(
     expansion bounded by `bucket_cap` (skew guard), distinct pairs out.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), n_hashes, k).alias("sig")
-    ).filter(F.size("sig") > 0)
+    # Explode band ids FIRST, then compute only that band's minhashes with a
+    # dynamic seed (concat(band*rpb+r, ':', shingle)).  Computing the full
+    # signature and indexing it per band looks natural but Catalyst's
+    # projection collapse re-inlines the whole signature expression into
+    # every element reference — n_hashes x bands recomputations of the
+    # shingle pipeline (measured 50s+ at 5k docs).  Seed strings are
+    # identical to minhash_signature's, so results match the DuckDB oracle.
+    fan_out = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(fan_out)  # shingle+md5 work is CPU-bound, not byte-bound
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    with_band = sh.select(
+        "id", "sh", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    )
 
-    banded = sig.select(
+    def _min_for(r: int):
+        seed = (F.col("band") * rows_per_band + F.lit(r)).cast("string")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(seed, F.lit(":"), s)))
+        )
+
+    banded = with_band.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+        "band",
+        F.md5(F.concat_ws("|", *[_min_for(r) for r in range(rows_per_band)])).alias(
+            "bucket"
+        ),
+    )
 
     capped = banded.groupBy("band", "bucket").agg(
         F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
@@ -216,10 +224,14 @@ def ngram_jaccard_pairs(
     index (stopword-shingle guard — it can only produce candidates that other,
     rarer shingles also produce, so recall for threshold>0 is unaffected
     until cap < 1/threshold of corpus)."""
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sets = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
     sizes = sets.select("id", F.size("sh").alias("sz"))
 
     inv = sets.select("id", F.explode("sh").alias("s"))

@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # these ship as ONE parquet file -> one input split -> CPU-heavy text
+        # and vector expressions would run single-threaded; fan out to the
+        # session's parallelism (same lesson as the frontier fetch stage:
+        # partition CPU-bound stages by cores, not bytes)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # =========================================================================

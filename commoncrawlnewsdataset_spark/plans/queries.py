@@ -725,6 +725,70 @@ FROM embeddings
 """
 
 
+def q_ann_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: ANN top-k ⋈ metadata with the score carried as a column — the
+    structural fix for the reference's positional distance attach bug
+    (Semantic_search_f32.py:50, J7)."""
+    from commoncrawlnewsdataset_spark.operators.similarity import topk_with_metadata
+
+    topk = q_cosine_topk(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return topk_with_metadata(topk, docs, "doc_id", ["source", "lang", "n_chars"])
+
+
+ORACLE_ANN_METADATA = f"""
+WITH topk AS ({ORACLE_COSINE_TOPK})
+SELECT d.doc_id, d.source, d.lang, d.n_chars, t.score
+FROM documents d JOIN topk t ON d.doc_id = t.vec_id
+"""
+
+
+def q_token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+A2: explode tokens, global top-20 token counts (the geomap
+    explode/count shape, 07_geocode_news.py:135-143)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_EXPLODE = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_calibration_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-dimension min/max calibration over the whole corpus
+    (09_embedding_transformation.py:15-17) as a relational result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.min("v").cast("double"), 6).alias("lo"),
+            F.round(F.max("v").cast("double"), 6).alias("hi"),
+        )
+    )
+
+
+ORACLE_CALIBRATION = """
+SELECT i.i - 1 AS dim,
+       round(CAST(min(embedding[i.i]) AS DOUBLE), 6) AS lo,
+       round(CAST(max(embedding[i.i]) AS DOUBLE), 6) AS hi
+FROM embeddings, unnest(generate_series(1, len(embedding))) i(i)
+GROUP BY 1
+"""
+
+
 # =========================================================================
 # Frontier-semantics queries (north_rule), phrased over the oracle views by
 # synthesizing a deterministic seed list from `orders`.
@@ -865,7 +929,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
+        "token_explode_topk": q_token_explode_topk,
         # vectors
+        "ann_metadata_join": q_ann_metadata_join,
+        "calibration_ranges": q_calibration_ranges,
         "cosine_topk": q_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "int8_quantize": q_int8_quantize,
@@ -901,6 +968,9 @@ def oracle_sqls() -> dict[str, str]:
         "jaccard_pairs": ORACLE_JACCARD,
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
+        "token_explode_topk": ORACLE_TOKEN_EXPLODE,
+        "ann_metadata_join": ORACLE_ANN_METADATA,
+        "calibration_ranges": ORACLE_CALIBRATION,
         "cosine_topk": ORACLE_COSINE_TOPK,
         "cosine_dup_pairs": ORACLE_COSINE_DUPS,
         "int8_quantize": ORACLE_INT8,

@@ -94,6 +94,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(spark.createDataFrame(media.collect(), MEDIA_SCHEMA))
 
 
+def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full crawl waves (politeness + bloom URL-seen + robots + link
+    discovery + snapshot commit + resume read) on a synthetic open frontier;
+    returns the final frontier state.  Side effects confined to a temp dir."""
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+    from commoncrawlnewsdataset_spark.schemas import SEEDS_SCHEMA
+    from commoncrawlnewsdataset_spark.synth import make_robots_pdf, make_seeds_pdf
+
+    def expander(fetched):
+        return fetched.select(
+            FF.concat(FF.col("url"), FF.lit("/next")).alias("url"),
+            FF.lit(0.25).alias("priority"),
+            FF.col("discovered_ts"),
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="frontier-q-")
+    runner = WaveRunner(
+        spark, state_dir, per_host_budget=8, nsalt=4,
+        robots_rules=spark.createDataFrame(make_robots_pdf()),
+        wave_seconds=30.0, link_expander=expander,
+    )
+    runner.load_seeds(spark.createDataFrame(make_seeds_pdf(300), SEEDS_SCHEMA))
+    runner.run_wave()
+    runner.run_wave()
+    return runner.state().select("url", "host", "status", "wave", "attempts")
+
+
 def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 NER stage (iterator pandas UDF, model loaded once per worker)."""
     from commoncrawlnewsdataset_spark.ner import with_ner
@@ -115,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_ann_topk": q_lsh_ann_topk,
             "media_features": q_media_features,
             "ner_gazetteer": q_ner_gazetteer,
+            "frontier_waves": q_frontier_waves,
         }
     )
     return qs

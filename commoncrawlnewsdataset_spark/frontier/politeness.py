@@ -32,22 +32,42 @@ def politeness_rank(
     pending: DataFrame,
     per_host_budget: int,
     nsalt: int = 8,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Select the wave: per-host top-`budget` by (priority desc, ts, url),
     with salted pre-ranking to defeat host skew.  Adds `rank` (1-based,
-    per host) to the selected rows."""
+    per host) to the selected rows.
+
+    `host_budgets` (host, budget) overrides the default budget per host —
+    derived from robots crawl delays (budget = wave_seconds / crawl_delay,
+    the per-host generalization of the reference's 1 rps RateLimiter,
+    07_geocode_news.py:149-155).  Phase 1 caps at the DEFAULT budget only
+    when no override can exceed it; with overrides it caps at the max
+    override so phase 2 stays exact."""
+    if host_budgets is not None:
+        pending = pending.join(
+            F.broadcast(host_budgets.select("host", F.col("budget").alias("_budget"))),
+            "host",
+            "left",
+        ).withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(per_host_budget)))
+        phase1_cap = F.col("_budget")
+    else:
+        pending = pending.withColumn("_budget", F.lit(per_host_budget))
+        phase1_cap = F.lit(per_host_budget)
+
     salted = pending.withColumn("_salt", F.pmod(F.hash("url"), F.lit(nsalt)))
     w_local = Window.partitionBy("host", "_salt").orderBy(*order_cols())
     survivors = (
         salted.repartition(F.col("host"), F.col("_salt"))
         .withColumn("_rn", F.row_number().over(w_local))
-        .filter(F.col("_rn") <= per_host_budget)
+        .filter(F.col("_rn") <= phase1_cap)
         .drop("_rn", "_salt")
     )
     w_host = Window.partitionBy("host").orderBy(*order_cols())
     return (
         survivors.withColumn("rank", F.row_number().over(w_host))
-        .filter(F.col("rank") <= per_host_budget)
+        .filter(F.col("rank") <= F.col("_budget"))
+        .drop("_budget")
     )
 
 

@@ -95,6 +95,16 @@ class WaveRunner:
     fetcher: Callable[[str, int], tuple[bool, int, int]] | None = None
     robots_rules: DataFrame | None = None
     detailed_metrics: bool = True
+    # link discovery: fetched outcomes -> new seed rows (url, priority,
+    # discovered_ts); discovered urls enter the frontier as pending after the
+    # URL-seen gate.  None = closed frontier (reference behavior: the seed
+    # list is the whole universe, 01_download_newscrawl.py:80-81).
+    link_expander: Callable[[DataFrame], DataFrame] | None = None
+    # when set (seconds per wave) and robots rules carry crawl_delay_s, the
+    # per-host budget becomes floor(wave_seconds / crawl_delay) — budget
+    # arithmetic instead of sleeping (reference analog: 1 rps RateLimiter,
+    # 07_geocode_news.py:149-155)
+    wave_seconds: float | None = None
     # fetch tasks per core: fine-grained tasks pack the tail of the stage
     # (a 2-round schedule of coarse tasks leaves cores idle at the end)
     fetch_tasks_per_core: int = 8
@@ -169,11 +179,22 @@ class WaveRunner:
         window (wave_order is display-only); the deterministic ORDER CONTRACT
         (priority desc, discovered_ts, url) is what parity relies on."""
         pending = state.filter(F.col("status") == "pending")
+        host_budgets = None
         if self.use_robots and self.robots_rules is not None:
             pending = gate_by_robots(pending, self.robots_rules)
+            if self.wave_seconds is not None:
+                from commoncrawlnewsdataset_spark.frontier.robots import host_crawl_delays
+
+                host_budgets = host_crawl_delays(self.robots_rules).select(
+                    "host",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(F.lit(self.wave_seconds) / F.col("crawl_delay_s")),
+                    ).cast("int").alias("budget"),
+                )
         fetched = state.filter(F.col("status") == "fetched").select("url")
         unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
-        return politeness_rank(unseen, self.per_host_budget, self.nsalt)
+        return politeness_rank(unseen, self.per_host_budget, self.nsalt, host_budgets)
 
     def _fetch(self, selected: DataFrame) -> DataFrame:
         """Fetch stage: frontier columns pass straight THROUGH the Arrow UDF,
@@ -268,7 +289,24 @@ class WaveRunner:
             ]
 
         t_stats = time.time()
-        self._write_delta(outcome, wave)
+        n_discovered = 0
+        delta = outcome
+        if self.link_expander is not None:
+            discovered = self.link_expander(outcome.filter(F.col("status") == "fetched"))
+            keyed = with_frontier_keys(discovered)
+            known = state.select("url").unionByName(outcome.select("url"))
+            fresh = filter_unseen(keyed, known, use_bloom=False).dropDuplicates(["url"])
+            new_pending = fresh.select(
+                "url", "url_hash", "host",
+                F.lit("pending").alias("status"),
+                F.col("priority").cast("double"),
+                F.lit(wave).alias("wave"),
+                F.lit(0).alias("attempts"),
+                F.col("discovered_ts").cast("timestamp"),
+            ).cache()
+            n_discovered = new_pending.count()
+            delta = outcome.unionByName(new_pending)
+        self._write_delta(delta, wave)
         elapsed = time.time() - t0
         manifest = {
             "wave": wave,
@@ -281,6 +319,7 @@ class WaveRunner:
             "n_selected": n_selected,
             "n_fetched": status_counts.get("fetched", 0),
             "n_failed": status_counts.get("failed", 0),
+            "n_discovered": n_discovered,
             "per_partition_rows": [
                 {"partition": p, "rows": n} for p, n in sorted(part_rows.items())
             ],

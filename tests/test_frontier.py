@@ -184,3 +184,62 @@ def test_manifest_metrics(spark, tmp_path):
     assert m["urls_per_sec"] > 0
     assert sum(p["rows"] for p in m["per_partition_rows"]) == m["n_selected"]
     assert runner.read_manifest(m["wave"]) == m
+
+
+def test_link_discovery_expands_frontier(spark, tmp_path):
+    """Open-frontier mode: fetched pages yield child urls that enter the
+    frontier as pending exactly once (URL-seen gated), then get crawled."""
+    from pyspark.sql import functions as F2
+
+    def expander(fetched):
+        return fetched.select(
+            F2.concat(F2.col("url"), F2.lit("/child")).alias("url"),
+            F2.lit(0.5).alias("priority"),
+            F2.col("discovered_ts"),
+        )
+
+    runner = WaveRunner(
+        spark, str(tmp_path / "lx"), per_host_budget=50, nsalt=2,
+        use_robots=False, link_expander=expander,
+        fetcher=lambda u, r: (True, 1, 10),
+    )
+    urls = [f"https://h{i % 3}.example.org/p/{i}" for i in range(30)]
+    runner.load_seeds(_parity_seeds(spark, urls))
+    m1 = runner.run_wave()
+    assert m1["n_discovered"] == m1["n_fetched"] == 30
+    m2 = runner.run_wave()
+    # wave 2 fetches exactly the discovered children; their children are new
+    assert m2["n_selected"] == 30
+    children = {
+        r["url"]
+        for r in runner.state().filter(F2.col("status") == "fetched").collect()
+    }
+    assert {u + "/child" for u in urls} <= children
+    # idempotence of discovery: no child was enqueued twice
+    st = runner.state().groupBy("url").count().filter("count > 1").count()
+    assert st == 0
+
+
+def test_crawl_delay_budgets(spark, tmp_path):
+    """Per-host budget = wave_seconds / crawl_delay_s from robots rules."""
+    rules = spark.createDataFrame(
+        [("h0.example.org", "/none/", False, 10.0), ("h1.example.org", "/none/", False, 1.0)],
+        ["host", "path_prefix", "allowed", "crawl_delay_s"],
+    )
+    runner = WaveRunner(
+        spark, str(tmp_path / "cd"), per_host_budget=100, nsalt=2,
+        use_robots=True, robots_rules=rules, wave_seconds=10.0,
+        fetcher=lambda u, r: (True, 1, 10),
+    )
+    urls = [f"https://h{i % 3}.example.org/p/{i}" for i in range(90)]
+    runner.load_seeds(_parity_seeds(spark, urls))
+    runner.run_wave()
+    per_host = {
+        r["host"]: r["count"]
+        for r in runner.state()
+        .filter(F.col("status") == "fetched")
+        .groupBy("host").count().collect()
+    }
+    assert per_host["h0.example.org"] == 1    # 10s wave / 10s delay
+    assert per_host["h1.example.org"] == 10   # 10s wave / 1s delay
+    assert per_host["h2.example.org"] == 30   # no rule -> default budget 100

@@ -1,0 +1,121 @@
+"""spark-submit entry point (north_rule: ships via --py-files).
+
+Usage (cluster):
+    python tools/package_pyfiles.py          # -> dist/ccnews_spark.zip
+    spark-submit --py-files dist/ccnews_spark.zip \
+        -m commoncrawlnewsdataset_spark.cli crawl --seeds s3://.../seeds \
+        --state s3://.../frontier --waves 10 --budget 100
+
+Subcommands:
+    crawl     run crawl waves against a frontier state dir (resumable)
+    pipeline  run the extraction pipeline (03→08) pages -> star schema
+    embed     embedding + quantization stage (09)
+    bench     the headline benchmark (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _crawl(args) -> None:
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("ccnews-crawl")
+    runner = WaveRunner(
+        spark,
+        args.state,
+        per_host_budget=args.budget,
+        nsalt=args.nsalt,
+        wave_seconds=args.wave_seconds,
+        robots_rules=(
+            spark.read.parquet(args.robots) if args.robots else None
+        ),
+        use_robots=bool(args.robots),
+    )
+    if args.seeds:
+        if runner.last_wave() >= 0:
+            print("state dir already seeded; resuming", file=sys.stderr)
+        else:
+            runner.load_seeds(spark.read.parquet(args.seeds))
+    for manifest in runner.run(max_waves=args.waves):
+        print(json.dumps(manifest))
+        if manifest.get("done"):
+            break
+
+
+def _pipeline(args) -> None:
+    from commoncrawlnewsdataset_spark.plans.pipeline import run_pipeline
+    from commoncrawlnewsdataset_spark.schemas import (
+        GAZETTEER_SCHEMA,
+        NUTS_REGIONS_SCHEMA,
+        TLD_EXCLUSIONS_SCHEMA,
+    )
+    from commoncrawlnewsdataset_spark.session import get_spark
+    from commoncrawlnewsdataset_spark.synth import make_gazetteer_pdf, make_nuts_pdf
+
+    spark = get_spark("ccnews-pipeline")
+    pages = spark.read.parquet(args.pages)
+    excl = (
+        spark.read.parquet(args.tld_exclusions)
+        if args.tld_exclusions
+        else spark.createDataFrame([], TLD_EXCLUSIONS_SCHEMA)
+    )
+    gaz = spark.createDataFrame(make_gazetteer_pdf(), GAZETTEER_SCHEMA)
+    nuts = spark.createDataFrame(make_nuts_pdf(), NUTS_REGIONS_SCHEMA)
+    result = run_pipeline(spark, pages, excl, gaz, nuts, args.geomap_min_count)
+    for name in ("articles", "locations", "article_locations", "article_vectors"):
+        getattr(result, name).write.mode("overwrite").parquet(f"{args.out}/{name}")
+        print(f"wrote {args.out}/{name}")
+
+
+def _embed(args) -> None:
+    from commoncrawlnewsdataset_spark.plans.embed import (
+        embed_articles,
+        with_all_quantizations,
+    )
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("ccnews-embed")
+    articles = spark.read.parquet(args.articles)
+    out = with_all_quantizations(embed_articles(articles, dim=args.dim))
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="ccnews-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--state", required=True)
+    c.add_argument("--seeds")
+    c.add_argument("--robots")
+    c.add_argument("--waves", type=int, default=10)
+    c.add_argument("--budget", type=int, default=10)
+    c.add_argument("--nsalt", type=int, default=8)
+    c.add_argument("--wave-seconds", type=float, default=None)
+    c.set_defaults(fn=_crawl)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--pages", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--tld-exclusions")
+    pl.add_argument("--geomap-min-count", type=int, default=100)
+    pl.set_defaults(fn=_pipeline)
+
+    e = sub.add_parser("embed")
+    e.add_argument("--articles", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--dim", type=int, default=64)
+    e.set_defaults(fn=_embed)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

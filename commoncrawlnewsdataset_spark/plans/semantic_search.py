@@ -1,0 +1,103 @@
+"""Semantic search end-to-end — the reference's three Example_Usage variants
+as one parameterized plan (Example_Usage/Semantic_search_{f32,int8,binary}.py):
+
+1. encode the query with the 'query: ' prompt (f32.py:18),
+2. top-k by the variant's metric (cosine / int8 inner-product / Hamming),
+3. join article metadata with the score carried as a COLUMN — the structural
+   fix for the reference's positional-attach bug (f32.py:50, J7) and its
+   undefined-variable bugs (int8.py:25, binary.py:37), documented divergences.
+
+Exact top-k here (distance + orderBy + limit = TakeOrderedAndProject);
+`operators.similarity.lsh_topk` is the approximate scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.operators.quantize import quantize_int8
+from commoncrawlnewsdataset_spark.operators.similarity import dot, topk_with_metadata
+from commoncrawlnewsdataset_spark.operators.dedup import cosine_sim
+from commoncrawlnewsdataset_spark.plans.embed import EMBED_DIM, stub_encode_one
+
+
+def encode_query(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """'query: ' prompt + normalized encode (Semantic_search_f32.py:18)."""
+    return [float(x) for x in stub_encode_one("query: " + text, dim)]
+
+
+def search_f32(
+    emb: DataFrame, query: str, k: int = 10,
+    id_col: str = "id", vec_col: str = "embeddings",
+) -> DataFrame:
+    """f32 / cosine (10_vector_database.py:14-16)."""
+    q = encode_query(query)
+    qa = F.array(*[F.lit(x) for x in q])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col).cast("array<double>"), qa), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def search_int8(
+    emb: DataFrame, query: str, lo: list[float], hi: list[float], k: int = 10,
+    id_col: str = "id", int8_col: str = "int8_embeddings",
+) -> DataFrame:
+    """int8 / inner product (10:26-30): the QUERY is quantized with the same
+    calibration ranges — the reference intended this but referenced an
+    undefined `calibration_ranges` (Semantic_search_int8.py:25)."""
+    q = encode_query(query)
+    row = (
+        emb.sparkSession.range(1)
+        .select(quantize_int8(F.array(*[F.lit(x) for x in q]), lo, hi).alias("q"))
+        .first()
+    )
+    qq = F.array(*[F.lit(int(x)) for x in row["q"]])
+    return (
+        emb.select(
+            F.col(id_col),
+            dot(F.col(int8_col).cast("array<double>"), qq.cast("array<double>")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def search_binary(
+    emb: DataFrame, query: str, k: int = 10,
+    id_col: str = "id", bin_col: str = "binary_embeddings",
+) -> DataFrame:
+    """binary / Hamming over packed bytes (10:18-23): distance = sum of
+    bit_count(xor) over the byte arrays."""
+    from commoncrawlnewsdataset_spark.operators.quantize import pack_binary_bytes
+
+    q = encode_query(query)
+    row = (
+        emb.sparkSession.range(1)
+        .select(pack_binary_bytes(F.array(*[F.lit(x) for x in q])).alias("qb"))
+        .first()
+    )
+    qb = F.array(*[F.lit(int(b)) for b in row["qb"]])
+    hamming = F.aggregate(
+        F.zip_with(F.col(bin_col), qb, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(F.col(id_col), hamming.alias("hamming"))
+        .orderBy("hamming", F.col(id_col))
+        .limit(k)
+    )
+
+
+def search_with_metadata(
+    topk: DataFrame, articles: DataFrame, id_col: str = "id",
+    cols: tuple[str, ...] = ("text", "date_crawled", "hostname", "title"),
+) -> DataFrame:
+    """f32.py:38-47's SQL join, minus the J7 bug: score rides as a column."""
+    return topk_with_metadata(topk, articles, id_col, list(cols))

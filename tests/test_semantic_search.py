@@ -1,0 +1,74 @@
+"""Embedding stage + the three semantic-search variants end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.plans.embed import (
+    EMBED_DIM,
+    embed_articles,
+    stub_encode_one,
+    with_all_quantizations,
+)
+from commoncrawlnewsdataset_spark.plans.semantic_search import (
+    encode_query,
+    search_binary,
+    search_f32,
+    search_int8,
+    search_with_metadata,
+)
+
+DOCS = [
+    ("a1", "pizza pasta italian restaurant food review"),
+    ("a2", "pizza oven neapolitan dough recipe food"),
+    ("a3", "bundesliga football match result goals"),
+    ("a4", "stock market quarterly earnings report finance"),
+    ("a5", "film festival premiere cinema review"),
+] + [(f"b{i}", f"filler words number {i} nothing related") for i in range(20)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    articles = spark.createDataFrame(DOCS, ["id", "text"])
+    return with_all_quantizations(embed_articles(articles)).cache()
+
+
+def test_embeddings_deterministic_and_normalized(spark, emb):
+    rows = {r["id"]: r["embeddings"] for r in emb.collect()}
+    assert len(rows["a1"]) == EMBED_DIM
+    for v in rows.values():
+        n = float(np.linalg.norm(v))
+        assert n == pytest.approx(1.0, abs=1e-5) or n == 0.0
+    # UDF output == the direct function (vectorized == row-at-a-time)
+    expected = stub_encode_one("passage: " + dict(DOCS)["a1"])
+    assert rows["a1"] == pytest.approx(expected.tolist(), abs=1e-6)
+
+
+def test_f32_search_finds_related_docs(spark, emb):
+    top = [r["id"] for r in search_f32(emb, "pizza food", k=3).collect()]
+    assert set(top) >= {"a1", "a2"}  # the food docs outrank filler
+
+
+def test_int8_and_binary_searches_run_and_agree_roughly(spark, emb):
+    from commoncrawlnewsdataset_spark.operators.quantize import calibration_ranges
+
+    lo, hi = calibration_ranges(emb, "embeddings")
+    t_int8 = [r["id"] for r in search_int8(emb, "pizza food", lo, hi, k=5).collect()]
+    t_bin = [r["id"] for r in search_binary(emb, "pizza food", k=5).collect()]
+    assert "a1" in t_int8 or "a2" in t_int8
+    assert len(t_bin) == 5  # quantization is lossy; only shape guaranteed
+
+
+def test_metadata_join_carries_score(spark, emb):
+    articles = spark.createDataFrame(
+        [(i, t, "2024-01-01", "h.example.de", f"T {i}") for i, t in DOCS],
+        ["id", "text", "date_crawled", "hostname", "title"],
+    )
+    topk = search_f32(emb, "pizza food", k=3)
+    out = search_with_metadata(topk, articles).collect()
+    assert len(out) == 3
+    got = {r["id"]: r["score"] for r in out}
+    expected = {r["id"]: r["score"] for r in topk.collect()}
+    assert got == expected  # per-row score join (no positional attach)

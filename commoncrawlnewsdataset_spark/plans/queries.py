@@ -725,6 +725,175 @@ FROM embeddings
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/D4 upsert semantics as a relational result: 'existing' = orders
+    with even keys, 'updates' = orders with key %3==0 re-priced; INSERT OR
+    REPLACE resolved by merge_upsert (latest-wins window)."""
+    from commoncrawlnewsdataset_spark.plans.star import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price")
+    )
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "price", F.round(F.col("price") * 2, 4)
+    )
+    merged = merge_upsert(existing, updates, ["o_orderkey"], replace=True)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("price").cast("decimal(18,6)")).cast("double"), 4).alias("total"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH existing AS (
+  SELECT o_orderkey, round(o_totalprice, 4) AS price, 0 AS src
+  FROM orders WHERE o_orderkey % 2 = 0
+), updates AS (
+  SELECT o_orderkey, round(round(o_totalprice, 4) * 2, 4) AS price, 1 AS src
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT o_orderkey, price,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+  FROM (SELECT * FROM existing UNION ALL SELECT * FROM updates)
+)
+SELECT count(*) AS n_rows,
+       round(CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+FROM merged WHERE rn = 1
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (beyond-reference analytics; free from Catalyst):
+    ROLLUP over (orderstatus, orderpriority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit frame: running order count per
+    customer over time (rows unbounded preceding)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("order_seq"),
+    )
+    return out.filter(F.col("order_seq") <= 3)  # keep output bounded
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey, order_seq FROM (
+  SELECT o_custkey, o_orderkey,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS order_seq
+  FROM orders
+) WHERE order_seq <= 3
+"""
+
+
+def q_tld_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 TLD extraction over hostnames synthesized from documents: the
+    two-level-aware variant (.uk/.au/.nz keep two labels, ner_content.py:19-25)."""
+    from commoncrawlnewsdataset_spark.functions.urls import (
+        extract_tld,
+        extract_tld_two_level,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"), F.lit(".example."),
+        F.when(F.col("doc_id") % 4 == 0, "co.uk")
+        .when(F.col("doc_id") % 4 == 1, "com.au")
+        .when(F.col("doc_id") % 4 == 2, "de")
+        .otherwise("com"),
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("hostname"),
+        extract_tld(host).alias("tld"),
+        extract_tld_two_level(host).alias("tld2"),
+    )
+
+
+ORACLE_TLD = """
+WITH h AS (
+  SELECT doc_id,
+         source || '.example.' ||
+         CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au'
+                         WHEN 2 THEN 'de' ELSE 'com' END AS hostname
+  FROM documents
+)
+SELECT doc_id, hostname,
+       split_part(hostname, '.', -1) AS tld,
+       CASE WHEN split_part(hostname, '.', -1) IN ('uk', 'au', 'nz')
+            THEN split_part(hostname, '.', -2) || '.' || split_part(hostname, '.', -1)
+            ELSE split_part(hostname, '.', -1) END AS tld2
+FROM h
+"""
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-index search (V4): Hamming distance over packed sign bytes to
+    the min-vec_id query, top-20 (10_vector_database.py:19-23 metric)."""
+    from commoncrawlnewsdataset_spark.operators.quantize import pack_binary_bytes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.orderBy("vec_id")
+        .select(pack_binary_bytes(F.col("embedding")).alias("qb"))
+        .first()
+    )
+    qb = F.array(*[F.lit(int(b)) for b in qrow["qb"]])
+    packed = pack_binary_bytes(F.col("embedding"))
+    hamming = F.aggregate(
+        F.zip_with(packed, qb, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("vec_id", hamming.cast("int").alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(20)
+    )
+
+
+ORACLE_HAMMING = """
+WITH packed AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, CAST(len(embedding)/8 AS INTEGER) - 1),
+           i -> list_reduce(list_prepend(0, list_transform(
+                  list_slice(embedding, i*8 + 1, i*8 + 8),
+                  x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)), (a, b) -> a*2 + b)) AS pb
+  FROM embeddings
+), q AS (SELECT pb AS qb FROM packed ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, len(p.pb)),
+              i -> bit_count(CAST(xor(CAST(p.pb[i] AS BIGINT), CAST(q.qb[i] AS BIGINT)) AS BIGINT)))),
+            (a, b) -> a + b) AS INTEGER) AS hamming
+FROM packed p CROSS JOIN q
+ORDER BY hamming, vec_id LIMIT 20
+"""
+
+
 def q_ann_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: ANN top-k ⋈ metadata with the score carried as a column — the
     structural fix for the reference's positional distance attach bug
@@ -930,7 +1099,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
         "token_explode_topk": q_token_explode_topk,
+        "merge_upsert": q_merge_upsert,
+        "rollup_orders": q_rollup_orders,
+        "running_revenue": q_running_revenue,
+        "tld_logic": q_tld_logic,
         # vectors
+        "hamming_topk": q_hamming_topk,
         "ann_metadata_join": q_ann_metadata_join,
         "calibration_ranges": q_calibration_ranges,
         "cosine_topk": q_cosine_topk,
@@ -969,6 +1143,11 @@ def oracle_sqls() -> dict[str, str]:
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
         "token_explode_topk": ORACLE_TOKEN_EXPLODE,
+        "merge_upsert": ORACLE_MERGE_UPSERT,
+        "rollup_orders": ORACLE_ROLLUP,
+        "running_revenue": ORACLE_RUNNING,
+        "tld_logic": ORACLE_TLD,
+        "hamming_topk": ORACLE_HAMMING,
         "ann_metadata_join": ORACLE_ANN_METADATA,
         "calibration_ranges": ORACLE_CALIBRATION,
         "cosine_topk": ORACLE_COSINE_TOPK,

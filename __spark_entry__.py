@@ -91,7 +91,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).alias("height"),
         F.lit(1000).cast("long").alias("duration_ms"),
     )
-    return extract_media_features(spark.createDataFrame(media.collect(), MEDIA_SCHEMA))
+    return extract_media_features(media)
 
 
 def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:

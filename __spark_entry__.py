@@ -71,6 +71,21 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qv, k=20, n_planes=8, probe_hamming=2)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (scale path #2; recall<1 by design, no oracle):
+    assign to nearest centroid list, probe 2 of 8 lists, exact re-rank."""
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        ivf_topk,
+        pick_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = pick_centroids(emb, 8)
+    row = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in row["embedding"]]
+    return ivf_topk(emb, qv, cents, k=20, n_probe=2)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -144,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_pipeline": q_extract_pipeline,
             "quality_metrics_udf": q_quality_metrics_udf,
             "lsh_ann_topk": q_lsh_ann_topk,
+            "ivf_ann_topk": q_ivf_ann_topk,
             "media_features": q_media_features,
             "ner_gazetteer": q_ner_gazetteer,
             "frontier_waves": q_frontier_waves,

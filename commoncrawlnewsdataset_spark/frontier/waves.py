@@ -141,16 +141,52 @@ class WaveRunner:
         with open(os.path.join(self._wave_dir(wave), "manifest.json")) as f:
             return json.load(f)
 
+    def _checkpoint_dir(self, upto: int) -> str:
+        return os.path.join(self.state_dir, f"checkpoint={upto:05d}")
+
+    def committed_checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.state_dir)
+            if d.startswith("checkpoint=")
+            and os.path.exists(os.path.join(self.state_dir, d, "_COMMITTED"))
+        )
+
     def state(self, upto_wave: int | None = None) -> DataFrame:
-        """Latest record per url across committed deltas (snapshot read).
-        `upto_wave` gives time travel to any snapshot (resume semantics)."""
+        """Latest record per url (snapshot read).  Reads the newest usable
+        COMPACTED checkpoint plus only the deltas after it, so the per-wave
+        cost tracks the delta volume, not the full log.  `upto_wave` gives
+        time travel to any snapshot (resume semantics); raw deltas are never
+        deleted, so time travel works below the checkpoint too."""
         waves = self.committed_waves()
         if upto_wave is not None:
             waves = [w for w in waves if w <= upto_wave]
-        paths = [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
+        base = [c for c in self.committed_checkpoints() if not waves or c <= max(waves, default=-1)]
+        paths = []
+        if base and (upto_wave is None or base[-1] <= upto_wave):
+            ckpt = base[-1]
+            paths.append(os.path.join(self._checkpoint_dir(ckpt), "state.parquet"))
+            waves = [w for w in waves if w > ckpt]
+        paths += [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
         log = self.spark.read.parquet(*paths)
         w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
         return log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def compact(self, upto_wave: int | None = None) -> int:
+        """Materialize the resolved state through `upto_wave` (default: last
+        committed) as a checkpoint.  Iceberg analog: snapshot expiration +
+        rewrite_data_files, except nothing is deleted here — the checkpoint
+        is a read optimization, raw deltas remain the source of truth."""
+        upto = self.last_wave() if upto_wave is None else upto_wave
+        out = self._checkpoint_dir(upto)
+        self.state(upto_wave=upto).write.mode("overwrite").parquet(
+            os.path.join(out, "state.parquet")
+        )
+        with open(os.path.join(out, "_COMMITTED"), "w") as f:
+            f.write(str(upto))
+        return upto
 
     # ---- seed load (wave 0) ----------------------------------------------
 

@@ -102,6 +102,64 @@ def lsh_topk(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col)
 
 
+def pick_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid seed: the vectors of the n smallest ids.
+    Production would refine with k-means (mapPartitions Lloyd iterations);
+    IVF's plan shape — assign, partition by list, probe few lists — is
+    identical either way."""
+    rows = emb.orderBy(id_col).select(vec_col).limit(n_centroids).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds `_list`: index of the nearest centroid (cosine, ties -> lowest
+    index).  argmax via array_max over (score, -idx) structs — struct
+    comparison is lexicographic, all JVM-side."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine_sim(v, F.array(*[F.lit(float(x)) for x in c])), 9).alias("s"),
+                F.lit(-i).alias("neg_idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return emb.withColumn("_list", (-best["neg_idx"]).cast("int"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the `n_probe` inverted lists nearest the query,
+    exact re-rank inside them.  At scale `_list` is a precomputed partition
+    column, so the probe is a partition-pruned scan of n_probe/n_centroids
+    of the corpus."""
+    import math
+
+    def cos(a, b):
+        dd = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dd / (na * nb)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))[:n_probe]
+    assigned = ivf_assign(emb, centroids, vec_col)
+    candidates = assigned.filter(F.col("_list").isin(probe)).drop("_list")
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def hamming_topk(
     df: DataFrame, query_sig: int, k: int, id_col: str, sig_col: str
 ) -> DataFrame:

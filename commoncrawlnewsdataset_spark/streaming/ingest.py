@@ -45,6 +45,53 @@ def hourly_host_counts(pages_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def stateful_host_counts(pages_stream: DataFrame):
+    """Custom stateful operator via applyInPandasWithState: running page
+    count + last-seen timestamp per host across micro-batches (the pattern a
+    custom frontier statistic — e.g. per-host politeness debt — would use).
+
+    Returns (host, n_pages_total, batches_seen) in update mode; state is one
+    (count, batches) pair per host."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from typing import Iterable
+
+    from commoncrawlnewsdataset_spark.functions.urls import host_of
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("n_pages_total", LongType()),
+            StructField("batches_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("count", LongType()), StructField("batches", LongType())]
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (host,) = key
+        count, batches = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+        batches += 1
+        state.update((count, batches))
+        yield pd.DataFrame(
+            {"host": [host], "n_pages_total": [count], "batches_seen": [batches]}
+        )
+
+    hosts = pages_stream.select(host_of(F.col("url")).alias("host"))
+    return hosts.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_extract_to(
     pages_stream: DataFrame, sink_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

@@ -243,3 +243,30 @@ def test_crawl_delay_budgets(spark, tmp_path):
     assert per_host["h0.example.org"] == 1    # 10s wave / 10s delay
     assert per_host["h1.example.org"] == 10   # 10s wave / 1s delay
     assert per_host["h2.example.org"] == 30   # no rule -> default budget 100
+
+
+def test_compaction_preserves_state_and_time_travel(spark, tmp_path):
+    """compact() is a pure read optimization: post-compaction state equals
+    the uncompacted control, later waves behave identically, and time travel
+    below the checkpoint still resolves from raw deltas."""
+    a, b = str(tmp_path / "ca"), str(tmp_path / "cb")
+    ra = WaveRunner(spark, a, per_host_budget=4, nsalt=2, use_robots=False)
+    rb = WaveRunner(spark, b, per_host_budget=4, nsalt=2, use_robots=False)
+    for r, d in ((ra, a), (rb, b)):
+        r.load_seeds(_seeds_df(spark, 60, seed=3))
+        r.run_wave()
+        r.run_wave()
+    ckpt = ra.compact()
+    assert ckpt == 2 and ra.committed_checkpoints() == [2]
+    ra.run_wave()
+    rb.run_wave()
+
+    def snap(r, upto=None):
+        return sorted(
+            (x["url"], x["status"], x["wave"])
+            for x in r.state(upto_wave=upto).select("url", "status", "wave").collect()
+        )
+
+    assert snap(ra) == snap(rb)                  # final states identical
+    assert snap(ra, upto=1) == snap(rb, upto=1)  # time travel below checkpoint
+    assert snap(ra, upto=2) == snap(rb, upto=2)  # time travel AT checkpoint

@@ -131,3 +131,31 @@ def test_point_in_region_max_level_and_prefixes(spark):
         spark.createDataFrame([(None, "DE21"), ("DE212", "DE21")], ["NUTS3", "NUTS2"])
     ).collect()
     assert [r["NUTS"] for r in co] == ["DE21", "DE212"]
+
+
+def test_ivf_topk_probe_and_recall(spark):
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        pick_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    cents = pick_centroids(df, 8)
+    assigned = ivf_assign(df, cents)
+    lists = {r["_list"] for r in assigned.select("_list").distinct().collect()}
+    assert lists <= set(range(8)) and len(lists) > 1  # real partitioning
+    # a centroid's own vector lands in its own list
+    own = {r["vec_id"]: r["_list"] for r in assigned.filter(F.col("vec_id") < 8).collect()}
+    assert all(own[i] == i for i in range(8))
+
+    q = [float(x) for x in vecs[3]]
+    got = [r["vec_id"] for r in ivf_topk(df, q, cents, k=5, n_probe=3).collect()]
+    assert got[0] == 3  # the query's own vector is in a probed list
+    # IVF results are a subset of the exact top-50 (approximate but sane)
+    sims = vecs @ vecs[3] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3]))
+    assert set(got) <= set(np.argsort(-sims)[:50].tolist())

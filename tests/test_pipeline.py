@@ -108,3 +108,54 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
     }
     assert batch_keys <= streamed_keys
     assert streamed.filter(F.col("text").isNull()).count() == 0
+
+
+def test_stateful_host_counts(spark, tmp_path):
+    """applyInPandasWithState: per-host totals accumulate across micro-batches
+    and converge to the batch ground truth."""
+    from commoncrawlnewsdataset_spark.functions.urls import host_of
+    from commoncrawlnewsdataset_spark.sources.pages import write_pages
+    from commoncrawlnewsdataset_spark.streaming.ingest import (
+        stateful_host_counts,
+        stream_pages,
+    )
+
+    pages = spark.createDataFrame(make_pages_pdf(150, seed=6), PAGES_SCHEMA)
+    src = str(tmp_path / "spages")
+    write_pages(pages, src, mode="overwrite")
+
+    stream = stream_pages(spark, src, max_files_per_trigger=1)
+    q = (
+        stateful_host_counts(stream)
+        .writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last update per host == total batch count per host
+    from pyspark.sql import Window as W
+
+    updates = spark.sql("select * from host_counts")
+    latest = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("host").orderBy(F.desc("batches_seen"), F.desc("n_pages_total"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("host", "n_pages_total")
+    )
+    got = {r["host"]: r["n_pages_total"] for r in latest.collect()}
+    expected = {
+        r["host"]: r["n"]
+        for r in pages.select(host_of(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected

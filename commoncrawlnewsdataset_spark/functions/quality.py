@@ -17,12 +17,12 @@ BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
 
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count (≡ Python str.split())."""
-    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")).cast("long")
 
 
 def token_count_bpe(text: Column) -> Column:
     """BPE-ish token count via regexp_count — a cheap LLM-token proxy."""
-    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
 
 
 def punct_ratio(text: Column) -> Column:

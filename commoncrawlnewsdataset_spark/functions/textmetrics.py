@@ -115,12 +115,13 @@ def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def sql_word_count(text: Column) -> Column:
-    """Whitespace token count, empty tokens excluded (≡ str.split())."""
-    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    """Whitespace token count, empty tokens excluded (≡ str.split()).
+    long, matching DuckDB len() for oracle schema parity."""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")).cast("long")
 
 
 def sql_sentences_count(text: Column) -> Column:
-    return F.regexp_count(text, F.lit(r"\b[^.!?]+[.!?]*"))
+    return F.regexp_count(text, F.lit(r"\b[^.!?]+[.!?]*")).cast("long")
 
 
 def sql_javascript_count(text: Column) -> Column:

@@ -694,7 +694,7 @@ WITH flat AS (
                          ELSE -128.0 END) AS BIGINT) AS qv
   FROM flat f JOIN ranges r USING (dim)
 )
-SELECT vec_id, sum(qv) AS q_sum, CAST(min(qv) AS INTEGER) AS q_min, CAST(max(qv) AS INTEGER) AS q_max
+SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum, CAST(min(qv) AS INTEGER) AS q_min, CAST(max(qv) AS INTEGER) AS q_max
 FROM q GROUP BY vec_id
 """
 
@@ -711,7 +711,7 @@ def q_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.aggregate(
             quantize_binary_bits(F.col("embedding")), F.lit(0), lambda a, x: a + x
-        ).alias("n_positive"),
+        ).cast("long").alias("n_positive"),
         pack_binary_bytes(F.col("embedding"))[0].alias("first_byte"),
     )
 
@@ -941,7 +941,7 @@ def q_calibration_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return (
         emb.select(F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("dim")
+        .groupBy(F.col("dim").cast("long").alias("dim"))
         .agg(
             F.round(F.min("v").cast("double"), 6).alias("lo"),
             F.round(F.max("v").cast("double"), 6).alias("hi"),
@@ -986,7 +986,7 @@ def q_politeness_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _seed_frontier(spark, sf_dir)
     w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
     return (
-        seeds.withColumn("rn", F.row_number().over(w))
+        seeds.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= PER_HOST_BUDGET)
         .select("host", "url", "priority", "rn")
     )

@@ -369,12 +369,20 @@ class WaveRunner:
         outcome.unpersist()
         return manifest
 
-    def run(self, max_waves: int = 100) -> list[dict]:
-        """Wave loop until the frontier drains (or max_waves)."""
+    def run(self, max_waves: int = 100, compact_every: int | None = None) -> list[dict]:
+        """Wave loop until the frontier drains (or max_waves).
+        `compact_every`: checkpoint the resolved state every N waves so the
+        per-wave snapshot read stays O(delta), not O(log)."""
         manifests = []
         for _ in range(max_waves):
             m = self.run_wave()
             manifests.append(m)
+            if (
+                compact_every
+                and not m.get("done")
+                and m["wave"] % compact_every == 0
+            ):
+                self.compact(m["wave"])
             if m.get("done"):
                 break
         return manifests

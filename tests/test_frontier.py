@@ -270,3 +270,12 @@ def test_compaction_preserves_state_and_time_travel(spark, tmp_path):
     assert snap(ra) == snap(rb)                  # final states identical
     assert snap(ra, upto=1) == snap(rb, upto=1)  # time travel below checkpoint
     assert snap(ra, upto=2) == snap(rb, upto=2)  # time travel AT checkpoint
+
+
+def test_auto_compaction_policy(spark, tmp_path):
+    runner = WaveRunner(spark, str(tmp_path / "ac"), per_host_budget=4, nsalt=2, use_robots=False)
+    runner.load_seeds(_seeds_df(spark, 60, seed=8))
+    runner.run(max_waves=5, compact_every=2)
+    assert runner.committed_checkpoints()  # checkpoints were taken
+    # state readable and consistent: every seed url has exactly one record
+    assert runner.state().groupBy("url").count().filter("count > 1").count() == 0

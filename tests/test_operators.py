@@ -159,3 +159,30 @@ def test_ivf_topk_probe_and_recall(spark):
     # IVF results are a subset of the exact top-50 (approximate but sane)
     sims = vecs @ vecs[3] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3]))
     assert set(got) <= set(np.argsort(-sims)[:50].tolist())
+
+
+def test_ivf_written_index_partition_prunes(spark, tmp_path):
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        ivf_probe_read,
+        ivf_topk,
+        pick_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(200, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    cents = pick_centroids(df, 6)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, cents)
+    q = [float(x) for x in vecs[5]]
+    probed = ivf_probe_read(spark, path, q, cents, k=5, n_probe=2)
+    # partition pruning visible in the scan
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list" in plan.split("PartitionFilters", 1)[1][:120]
+    # same results as the in-memory IVF path
+    a = [(r["vec_id"], r["score"]) for r in probed.collect()]
+    b = [(r["vec_id"], r["score"]) for r in ivf_topk(df, q, cents, k=5, n_probe=2).collect()]
+    assert a == b

@@ -40,6 +40,26 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
+DUCK_TO_SPARK = {
+    "INTEGER": "int", "BIGINT": "bigint", "DOUBLE": "double",
+    "VARCHAR": "string", "FLOAT": "float", "HUGEINT": "hugeint",
+}
+
+
+def compare_schema(spark_df, duck_rel) -> list[str]:
+    """Strict dtype comparison (the driver checks schemas, not just values)."""
+    sdt = dict(spark_df.dtypes)
+    ddt = {c: str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+    issues = []
+    for c, t in sdt.items():
+        d = ddt.get(c)
+        if d is None:
+            issues.append(f"schema: column {c} missing in oracle")
+        elif t != DUCK_TO_SPARK.get(d, d.lower()):
+            issues.append(f"schema: {c} spark={t} duckdb={d}")
+    return issues
+
+
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     issues = []
     got = normalize(spark_df.toPandas())
@@ -93,12 +113,13 @@ def main() -> int:
             print(f"ok?  {name}: rows-only check, {n} rows")
             continue
         try:
-            want = con.sql(sql).df()
+            rel = con.sql(sql)
+            want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failed.append(name)
             continue
-        issues = compare(name, sdf, want)
+        issues = compare_schema(sdf, rel) + compare(name, sdf, want)
         if issues:
             print(f"FAIL {name}: " + "; ".join(issues))
             failed.append(name)

@@ -68,6 +68,46 @@ FETCH_RESULT_SCHEMA = StructType(
 )
 
 
+def make_http_fetcher(
+    backoff_s: float = 10.0,
+    timeout_s: float = 30.0,
+    session_factory=None,
+    sleeper=None,
+):
+    """Production fetcher with the reference's retry semantics
+    (01_download_newscrawl.py:51-69): `max_retries` attempts, exponential
+    backoff ×2 starting at `backoff_s`.  Returns (ok, attempts, bytes).
+
+    Built per python worker (construct INSIDE the UDF closure or pass as
+    WaveRunner.fetcher); `session_factory`/`sleeper` are injectable for
+    tests — no network exists in this sandbox."""
+    import time as _time
+
+    sleep = sleeper or _time.sleep
+
+    def fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
+        import requests  # per-worker import; gated at call time
+
+        session = session_factory() if session_factory else requests.Session()
+        wait = backoff_s
+        for attempt in range(1, max_retries + 1):
+            try:
+                resp = session.get(url, stream=True, timeout=timeout_s)
+                resp.raise_for_status()
+                n = 0
+                for chunk in resp.iter_content(chunk_size=8192):
+                    n += len(chunk)
+                return True, attempt, n
+            except Exception:
+                if attempt == max_retries:
+                    break
+                sleep(wait)
+                wait *= 2
+        return False, max_retries, 0
+
+    return fetch
+
+
 def simulated_fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
     """Deterministic stand-in for the HTTP fetch (no network in sandbox):
     ~1/13 of urls hard-fail after max_retries; ~1/7 succeed on attempt 2.

@@ -1,0 +1,88 @@
+"""Reference ad-hoc analytics (ner_content.py shapes) + http fetcher retry
+semantics (injected fakes; no network)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.plans.analytics import (
+    ambiguous_locations,
+    nuts3_top10,
+    tld_distribution,
+    top_locations_per_hostname,
+)
+
+
+def _ner_fixture(spark):
+    rows = [
+        ("a.zeit.de", ["Berlin", "München"]),
+        ("a.zeit.de", ["Berlin"]),
+        ("b.bbc.co.uk", ["Berlin!"]),
+        ("b.bbc.co.uk", ["Hamburg"]),
+        ("c.abc.net.au", ["Berlin"]),
+        ("c.abc.net.au", ["Köln", "Köln?"]),
+    ]
+    return spark.createDataFrame(rows, ["hostname", "loc"])
+
+
+def test_tld_distribution_two_level(spark):
+    out = {r["tld"]: r["count"] for r in tld_distribution(_ner_fixture(spark)).collect()}
+    assert out == {"de": 2, "co.uk": 2, "net.au": 2}
+
+
+def test_top_locations_per_hostname(spark):
+    out = top_locations_per_hostname(_ner_fixture(spark), k=1).collect()
+    best = {r["hostname"]: (r["loc"], r["n"]) for r in out}
+    assert best["a.zeit.de"] == ("berlin", 2)
+    assert best["c.abc.net.au"] == ("köln", 2)  # 'Köln?' normalizes into 'köln'
+
+
+def test_ambiguous_locations(spark):
+    out = {r["loc"]: r["n_tlds"] for r in ambiguous_locations(_ner_fixture(spark), 2).collect()}
+    assert out == {"berlin": 3}  # berlin appears on all three TLDs
+
+
+def test_nuts3_top10(spark):
+    geomap = spark.createDataFrame(
+        [("berlin", 500, "DE300", "Berlin"), ("kreuzberg", 200, "DE300", "Berlin"),
+         ("münchen", 300, "DE212", "München"), ("nowhere", 50, None, None),
+         ("country-only", 80, "DE", "Deutschland")],
+        ["loc_normal", "count", "NUTS", "GEN"],
+    )
+    out = [(r["NUTS"], r["mentions"]) for r in nuts3_top10(geomap).collect()]
+    assert out == [("DE300", 700), ("DE212", 300)]  # level-3 codes only
+
+
+def test_http_fetcher_retry_backoff_semantics():
+    """Reference semantics (01_download_newscrawl.py:51-69): N attempts,
+    exponential backoff x2, success short-circuits — with injected fakes."""
+    from commoncrawlnewsdataset_spark.frontier.waves import make_http_fetcher
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    class FakeResp:
+        def raise_for_status(self):
+            if calls["n"] < 3:
+                raise RuntimeError("boom")
+
+        def iter_content(self, chunk_size):
+            yield b"x" * 100
+
+    class FakeSession:
+        def get(self, url, stream, timeout):
+            calls["n"] += 1
+            return FakeResp()
+
+    fetch = make_http_fetcher(
+        backoff_s=10.0, session_factory=FakeSession, sleeper=sleeps.append
+    )
+    ok, attempts, n = fetch("https://x.example/1", 5)
+    assert ok and attempts == 3 and n == 100
+    assert sleeps == [10.0, 20.0]  # exponential x2 from 10s, stops on success
+
+    calls["n"] = -100  # always failing
+    sleeps.clear()
+    ok, attempts, n = fetch("https://x.example/2", 4)
+    assert not ok and attempts == 4 and n == 0
+    assert sleeps == [10.0, 20.0, 40.0]  # no sleep after the final attempt

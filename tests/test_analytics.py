@@ -86,3 +86,26 @@ def test_http_fetcher_retry_backoff_semantics():
     ok, attempts, n = fetch("https://x.example/2", 4)
     assert not ok and attempts == 4 and n == 0
     assert sleeps == [10.0, 20.0, 40.0]  # no sleep after the final attempt
+
+
+def test_geocode_rate_limited_injectable(spark):
+    """X14 production shape with an injected offline geocoder: suffix
+    appended, failures -> nulls, single-partition stage."""
+    from commoncrawlnewsdataset_spark.geocode import geocode_rate_limited
+
+    table = {"berlin, Germany": (52.52, 13.405), "münchen, Germany": (48.14, 11.58)}
+
+    def fake(q):
+        if q == "fails, Germany":
+            raise RuntimeError("api down")
+        return table.get(q)
+
+    locs = spark.createDataFrame(
+        [("berlin",), ("münchen",), ("unknown",), ("fails",)], ["loc_normal"]
+    )
+    out = geocode_rate_limited(locs, geocoder=fake, min_delay_s=0.0)
+    assert out.rdd.getNumPartitions() == 1  # sequential API -> one partition
+    got = {r["loc_normal"]: (r["latitude"], r["longitude"]) for r in out.collect()}
+    assert got["berlin"] == (52.52, 13.405)
+    assert got["unknown"] == (None, None)
+    assert got["fails"] == (None, None)

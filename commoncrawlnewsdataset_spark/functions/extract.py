@@ -146,7 +146,19 @@ def extract_articles(pages: DataFrame) -> DataFrame:
     (the wide binary column) is dropped before any shuffle — the dedup
     shuffles (text, hostname, ...) but never the raw bytes.
     """
+    from pyspark.sql import Window
+
     flat = pages.select(
         "url", extract_udf(F.col("html"), F.col("url")).alias("_e")
     ).select("url", "_e.*")
-    return flat.filter(F.col("text").isNotNull()).dropDuplicates(["text", "hostname"])
+    # D1 with a deterministic survivor: the reference's 'keep first' depends
+    # on file order (03:80); under parallelism the contract is min(url) per
+    # (text, hostname) — same dedup set, reproducible representative
+    # (SURVEY §7 'determinism under parallelism').
+    w = Window.partitionBy("text", "hostname").orderBy("url")
+    return (
+        flat.filter(F.col("text").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -186,3 +186,42 @@ def test_ivf_written_index_partition_prunes(spark, tmp_path):
     a = [(r["vec_id"], r["score"]) for r in probed.collect()]
     b = [(r["vec_id"], r["score"]) for r in ivf_topk(df, q, cents, k=5, n_probe=2).collect()]
     assert a == b
+
+
+def test_salted_agg_equals_plain(spark):
+    from commoncrawlnewsdataset_spark.operators.skew import salted_agg
+
+    # one hot key (90% of rows) + long tail
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))).alias("key"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    got = {
+        r["key"]: (r["count"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in salted_agg(df, ["key"], {"*": "count", "v": "sum"}, nsalt=8).join(
+            salted_agg(df, ["key"], {"v": "min"}, nsalt=8), "key"
+        ).join(salted_agg(df, ["key"], {"v": "max"}, nsalt=8), "key").collect()
+    }
+    want = {
+        r["key"]: (r["count"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in df.groupBy("key").agg(
+            F.count("*").alias("count"), F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_salted_hot_key_join_equals_plain(spark):
+    from commoncrawlnewsdataset_spark.operators.skew import salted_hot_key_join
+
+    facts = spark.range(5_000).select(
+        F.when(F.col("id") % 5 < 4, 1).otherwise((F.col("id") % 50).cast("int")).alias("k"),
+        F.col("id").alias("fid"),
+    )
+    dim = spark.range(50).select(F.col("id").cast("int").alias("k"), F.concat(F.lit("d"), F.col("id").cast("string")).alias("label"))
+    got = sorted(
+        (r["fid"], r["label"]) for r in salted_hot_key_join(facts, dim, "k", nsalt=4).collect()
+    )
+    want = sorted((r["fid"], r["label"]) for r in facts.join(dim, "k").collect())
+    assert got == want

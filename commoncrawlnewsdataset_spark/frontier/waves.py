@@ -214,6 +214,28 @@ class WaveRunner:
         w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
         return log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
+    def reprioritize(self, scorer: Callable[[DataFrame], Column]) -> int:
+        """Frontier re-prioritization at a wave barrier (north_star: per-wave
+        global barriers are exactly where re-ranking happens).  `scorer` maps
+        the pending state to a new priority Column; updated rows are appended
+        as a delta (latest-wins), so re-scoring is itself snapshotted,
+        resumable, and time-travelable like any wave."""
+        wave = self.last_wave() + 1
+        state = self.state()
+        pending = state.filter(F.col("status") == "pending")
+        rescored = pending.select(
+            "url", "url_hash", "host", "status",
+            scorer(pending).cast("double").alias("priority"),
+            F.lit(wave).alias("wave"),
+            "attempts",
+            "discovered_ts",
+        )
+        self._write_delta(rescored, wave)
+        n = rescored.count()
+        self._commit(wave, {"wave": wave, "reprioritized": n, "done": False,
+                            "n_selected": 0, "n_fetched": 0, "n_failed": 0})
+        return n
+
     def compact(self, upto_wave: int | None = None) -> int:
         """Materialize the resolved state through `upto_wave` (default: last
         committed) as a checkpoint.  Iceberg analog: snapshot expiration +

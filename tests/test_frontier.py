@@ -279,3 +279,29 @@ def test_auto_compaction_policy(spark, tmp_path):
     assert runner.committed_checkpoints()  # checkpoints were taken
     # state readable and consistent: every seed url has exactly one record
     assert runner.state().groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_reprioritize_changes_next_wave(spark, tmp_path):
+    """Wave-barrier re-scoring: boosted urls win the next wave's budget, and
+    the re-scoring itself is a snapshotted delta (resume/time-travel safe)."""
+    runner = WaveRunner(spark, str(tmp_path / "rp"), per_host_budget=3, nsalt=2, use_robots=False,
+                        fetcher=lambda u, r: (True, 1, 10))
+    urls = [f"https://one.example.org/p/{i:03d}" for i in range(12)]
+    runner.load_seeds(_parity_seeds(spark, urls))
+    runner.run_wave()  # fetches p/000..002 (FIFO: equal priority, ts order)
+
+    # boost the LAST urls
+    n = runner.reprioritize(lambda df: F.when(F.col("url") >= "https://one.example.org/p/009", 9.0).otherwise(1.0))
+    assert n == 9  # the 9 still-pending urls were re-scored
+    m = runner.run_wave()
+    delta = spark.read.parquet(f"{tmp_path}/rp/wave={m['wave']:05d}/delta.parquet")
+    fetched = sorted(r["url"] for r in delta.collect())
+    assert fetched == [f"https://one.example.org/p/{i:03d}" for i in (9, 10, 11)]
+
+    # resume still works across the reprioritize delta
+    resumed = WaveRunner(spark, str(tmp_path / "rp"), per_host_budget=3, nsalt=2, use_robots=False,
+                         fetcher=lambda u, r: (True, 1, 10))
+    assert resumed.last_wave() == m["wave"]
+    resumed.run_wave()
+    done = {r["url"] for r in resumed.state().filter(F.col("status") == "fetched").collect()}
+    assert len(done) == 9  # 3 + 3 + 3 fetched so far

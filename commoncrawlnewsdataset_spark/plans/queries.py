@@ -725,6 +725,80 @@ FROM embeddings
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 analog: JSON field extraction from the events props column +
+    per-type aggregation (the reference parses trafilatura JSON the same
+    way, 03_extract_text.py:63)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("k_count"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count
+FROM events GROUP BY event_type
+"""
+
+
+def q_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: sorted event-type list per user —
+    collect_list is order-nondeterministic, so the contract is sort_array
+    (the same total-order discipline as the frontier)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("event_type"))).alias("events_sorted"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_USER_ARRAYS = """
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY event_type), ',') AS events_sorted,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-filter shape decorrelated as a window: orders priced above
+    their own customer's average (exact DECIMAL avg so the comparison is
+    boundary-stable across engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = F.avg(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    return (
+        orders.withColumn("_avg", avg_price)
+        .filter(F.col("o_totalprice").cast("decimal(18,6)") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS p,
+         avg(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey) AS a
+  FROM orders
+) WHERE p > a
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/D4 upsert semantics as a relational result: 'existing' = orders
     with even keys, 'updates' = orders with key %3==0 re-priced; INSERT OR
@@ -1099,6 +1173,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
         "token_explode_topk": q_token_explode_topk,
+        "json_extract": q_json_extract,
+        "user_event_arrays": q_user_event_arrays,
+        "above_customer_avg": q_above_customer_avg,
         "merge_upsert": q_merge_upsert,
         "rollup_orders": q_rollup_orders,
         "running_revenue": q_running_revenue,
@@ -1143,6 +1220,9 @@ def oracle_sqls() -> dict[str, str]:
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
         "token_explode_topk": ORACLE_TOKEN_EXPLODE,
+        "json_extract": ORACLE_JSON,
+        "user_event_arrays": ORACLE_USER_ARRAYS,
+        "above_customer_avg": ORACLE_ABOVE_AVG,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "rollup_orders": ORACLE_ROLLUP,
         "running_revenue": ORACLE_RUNNING,

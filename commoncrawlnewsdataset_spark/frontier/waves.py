@@ -214,6 +214,19 @@ class WaveRunner:
         w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
         return log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
+    def fork(self, new_state_dir: str, upto_wave: int | None = None) -> "WaveRunner":
+        """Resume mid-crawl from ANY snapshot (north_rule): materialize the
+        resolved state as-of `upto_wave` into a fresh state dir and return a
+        runner over it.  The fork keeps every url's status (fetched urls are
+        not re-crawled) while discarding all waves after the chosen snapshot —
+        Iceberg analog: branch from an old snapshot id."""
+        import dataclasses
+
+        snap = self.state(upto_wave=upto_wave)
+        forked = dataclasses.replace(self, state_dir=new_state_dir)
+        forked._write_delta(snap.withColumn("wave", F.lit(0)), 0)
+        return forked
+
     def reprioritize(self, scorer: Callable[[DataFrame], Column]) -> int:
         """Frontier re-prioritization at a wave barrier (north_star: per-wave
         global barriers are exactly where re-ranking happens).  `scorer` maps

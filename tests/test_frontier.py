@@ -305,3 +305,26 @@ def test_reprioritize_changes_next_wave(spark, tmp_path):
     resumed.run_wave()
     done = {r["url"] for r in resumed.state().filter(F.col("status") == "fetched").collect()}
     assert len(done) == 9  # 3 + 3 + 3 fetched so far
+
+
+def test_fork_from_any_snapshot(spark, tmp_path):
+    """north_rule 'resumes mid-crawl from any snapshot': forking from wave 2
+    and crawling to completion yields the same final fetched set as the
+    uninterrupted run, and never re-fetches what wave<=2 already fetched."""
+    base = WaveRunner(spark, str(tmp_path / "f0"), per_host_budget=4, nsalt=2, use_robots=False)
+    base.load_seeds(_seeds_df(spark, 80, seed=13))
+    base.run(max_waves=10)
+    final_set = {r["url"] for r in base.state().filter(F.col("status") == "fetched").collect()}
+
+    forked = base.fork(str(tmp_path / "f2"), upto_wave=2)
+    pre = {r["url"] for r in forked.state().filter(F.col("status") == "fetched").collect()}
+    forked.run(max_waves=10)
+    post = {r["url"] for r in forked.state().filter(F.col("status") == "fetched").collect()}
+    assert pre < post == final_set
+    # no url fetched twice in the fork (waves 1+ outcomes disjoint from wave-0 fetched)
+    for w in forked.committed_waves():
+        if w == 0:
+            continue
+        delta = spark.read.parquet(f"{tmp_path}/f2/wave={w:05d}/delta.parquet")
+        refetched = {r["url"] for r in delta.collect()} & pre
+        assert not refetched

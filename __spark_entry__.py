@@ -46,8 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full UDF spine on synthetic pages (byte-identical text invariant is
-    pytest-checked; here the driver validates schema + row stability)."""
-    return entry(spark)
+    pytest-checked; here the driver validates schema + row stability).
+    Array columns are flattened to '|'-joined strings so the driver's
+    canonicalizer (pandas sort) can hash the rows."""
+    out = entry(spark)
+    return out.select(
+        "url", "hostname", "title", "word_count", "sentences_count",
+        F.concat_ws("|", "loc").alias("loc"),
+        F.concat_ws("|", "loc_normal").alias("loc_normal"),
+    )
 
 
 def q_quality_metrics_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,17 +80,26 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (scale path #2; recall<1 by design, no oracle):
-    assign to nearest centroid list, probe 2 of 8 lists, exact re-rank."""
+    k-means-refined centroids (Lloyd iterations as DataFrame aggregates),
+    index WRITTEN as a list-partitioned parquet layout, probe 2 of 8 lists by
+    reading only those partition directories (pruning IS the index), exact
+    re-rank inside them."""
+    import tempfile
+
     from commoncrawlnewsdataset_spark.operators.similarity import (
-        ivf_topk,
+        ivf_probe_read,
+        kmeans_refine,
         pick_centroids,
+        write_ivf_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = pick_centroids(emb, 8)
+    cents = kmeans_refine(emb, pick_centroids(emb, 8), n_iter=2)
+    index_dir = tempfile.mkdtemp(prefix="ivf-index-")
+    write_ivf_index(emb, index_dir, cents)
     row = emb.orderBy("vec_id").select("embedding").first()
     qv = [float(x) for x in row["embedding"]]
-    return ivf_topk(emb, qv, cents, k=20, n_probe=2)
+    return ivf_probe_read(spark, index_dir, qv, cents, k=20, n_probe=2)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +110,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_media_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    # deterministic subset (doc_id < 200), NOT limit(200): limit over a
+    # multi-partition scan picks arbitrary rows, which would break the oracle
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
     media = docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -106,38 +126,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).alias("height"),
         F.lit(1000).cast("long").alias("duration_ms"),
     )
-    return extract_media_features(media)
-
-
-def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two full crawl waves (politeness + bloom URL-seen + robots + link
-    discovery + snapshot commit + resume read) on a synthetic open frontier;
-    returns the final frontier state.  Side effects confined to a temp dir."""
-    import tempfile
-
-    from pyspark.sql import functions as FF
-
-    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
-    from commoncrawlnewsdataset_spark.schemas import SEEDS_SCHEMA
-    from commoncrawlnewsdataset_spark.synth import make_robots_pdf, make_seeds_pdf
-
-    def expander(fetched):
-        return fetched.select(
-            FF.concat(FF.col("url"), FF.lit("/next")).alias("url"),
-            FF.lit(0.25).alias("priority"),
-            FF.col("discovered_ts"),
-        )
-
-    state_dir = tempfile.mkdtemp(prefix="frontier-q-")
-    runner = WaveRunner(
-        spark, state_dir, per_host_budget=8, nsalt=4,
-        robots_rules=spark.createDataFrame(make_robots_pdf()),
-        wave_seconds=30.0, link_expander=expander,
+    feats = extract_media_features(media)
+    # flatten the feature vector to exact byte values (feature[i] = digest
+    # byte / 256, so *256 is exact) — canonicalizable AND DuckDB-reproducible
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.concat_ws(
+            "|", F.transform("feature", lambda v: F.round(v * 256).cast("int").cast("string"))
+        ).alias("feature_bytes"),
     )
-    runner.load_seeds(spark.createDataFrame(make_seeds_pdf(300), SEEDS_SCHEMA))
-    runner.run_wave()
-    runner.run_wave()
-    return runner.state().select("url", "host", "status", "wave", "attempts")
 
 
 def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,8 +145,11 @@ def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commoncrawlnewsdataset_spark.ner import with_ner
 
     pages = _synth_pages(spark, 400)
-    return with_ner(pages.filter(F.col("text").isNotNull())).select(
-        "url", "loc", "loc_normal"
+    out = with_ner(pages.filter(F.col("text").isNotNull()))
+    return out.select(
+        "url",
+        F.concat_ws("|", "loc").alias("loc"),
+        F.concat_ws("|", "loc_normal").alias("loc_normal"),
     )
 
 
@@ -162,13 +165,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_ann_topk": q_ivf_ann_topk,
             "media_features": q_media_features,
             "ner_gazetteer": q_ner_gazetteer,
-            "frontier_waves": q_frontier_waves,
         }
     )
     return qs
 
 
+# media_features is fully DuckDB-reproducible: the stub feature is bytes of
+# sha256(payload)/256, and payload is the UTF-8 bytes of documents.text.
+_FEATURE_BYTES = " || '|' || ".join(
+    f"CAST(('0x' || substr(cs, {2 * i + 1}, 2))::INT AS VARCHAR)" for i in range(8)
+)
+ORACLE_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         coalesce(text, '') AS payload
+  FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT media_id, kind,
+         CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+         sha256(payload) AS cs
+  FROM m
+)
+SELECT media_id, kind, n_bytes, cs AS checksum, {_FEATURE_BYTES} AS feature_bytes
+FROM h
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from commoncrawlnewsdataset_spark.plans.queries import oracle_sqls
 
-    return dict(oracle_sqls())
+    out = dict(oracle_sqls())
+    out["media_features"] = ORACLE_MEDIA_FEATURES
+    return out

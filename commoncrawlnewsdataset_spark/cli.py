@@ -35,6 +35,9 @@ def _crawl(args) -> None:
             spark.read.parquet(args.robots) if args.robots else None
         ),
         use_robots=bool(args.robots),
+        # --pages: persist fetched payloads per wave (single fetch pass);
+        # the extraction pipeline then reads <pages>/wave=*.parquet
+        page_sink_dir=args.pages,
     )
     if args.seeds:
         if runner.last_wave() >= 0:
@@ -98,6 +101,8 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--budget", type=int, default=10)
     c.add_argument("--nsalt", type=int, default=8)
     c.add_argument("--wave-seconds", type=float, default=None)
+    c.add_argument("--pages", default=None,
+                   help="page-sink dir: persist fetched html per wave")
     c.set_defaults(fn=_crawl)
 
     pl = sub.add_parser("pipeline")

@@ -52,7 +52,7 @@ from commoncrawlnewsdataset_spark.frontier.core import filter_unseen, with_front
 from commoncrawlnewsdataset_spark.frontier.politeness import politeness_rank
 from commoncrawlnewsdataset_spark.frontier.robots import gate_by_robots
 
-from pyspark.sql.types import BooleanType, DoubleType, TimestampType
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, TimestampType
 
 FETCH_RESULT_SCHEMA = StructType(
     [
@@ -67,16 +67,28 @@ FETCH_RESULT_SCHEMA = StructType(
     ]
 )
 
+# fetch schema when a pages sink is attached: payload rides along as binary
+FETCH_PAGE_SCHEMA = StructType(
+    FETCH_RESULT_SCHEMA.fields + [StructField("html", BinaryType())]
+)
+
 
 def make_http_fetcher(
     backoff_s: float = 10.0,
     timeout_s: float = 30.0,
     session_factory=None,
     sleeper=None,
+    keep_content: bool = False,
 ):
     """Production fetcher with the reference's retry semantics
     (01_download_newscrawl.py:51-69): `max_retries` attempts, exponential
-    backoff ×2 starting at `backoff_s`.  Returns (ok, attempts, bytes).
+    backoff ×2, only ``requests.RequestException`` retried (anything else is
+    a bug and propagates), and — as in the reference — the backoff sleep runs
+    after EVERY failed attempt, including the last.
+
+    Returns ``(ok, attempts, nbytes, content)``; ``content`` is the response
+    body when ``keep_content`` (it feeds the pages sink / extraction spine
+    instead of being discarded) and None otherwise.
 
     Built per python worker (construct INSIDE the UDF closure or pass as
     WaveRunner.fetcher); `session_factory`/`sleeper` are injectable for
@@ -85,7 +97,7 @@ def make_http_fetcher(
 
     sleep = sleeper or _time.sleep
 
-    def fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
+    def fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int, bytes | None]:
         import requests  # per-worker import; gated at call time
 
         session = session_factory() if session_factory else requests.Session()
@@ -95,15 +107,16 @@ def make_http_fetcher(
                 resp = session.get(url, stream=True, timeout=timeout_s)
                 resp.raise_for_status()
                 n = 0
+                chunks: list[bytes] = []
                 for chunk in resp.iter_content(chunk_size=8192):
                     n += len(chunk)
-                return True, attempt, n
-            except Exception:
-                if attempt == max_retries:
-                    break
+                    if keep_content:
+                        chunks.append(chunk)
+                return True, attempt, n, (b"".join(chunks) if keep_content else None)
+            except requests.exceptions.RequestException:
                 sleep(wait)
                 wait *= 2
-        return False, max_retries, 0
+        return False, max_retries, 0, None
 
     return fetch
 
@@ -121,6 +134,39 @@ def simulated_fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
     if h % 7 == 0:
         return True, 2, 1000 + h % 50_000
     return True, 1, 1000 + h % 50_000
+
+
+def simulated_fetch_with_payload(
+    url: str, max_retries: int = 5
+) -> tuple[bool, int, int, bytes | None]:
+    """simulated_fetch + a deterministic HTML body for the pages sink, so the
+    crawl → pages → extract spine is exercisable end-to-end offline."""
+    import zlib
+
+    ok, attempts, _n = simulated_fetch(url, max_retries)
+    if not ok:
+        return False, attempts, 0, None
+    # article-shaped body that passes the F4 quality gate (>=50 words, >=3
+    # sentences, >5 words/line, mean word length 3-12) so the crawl -> pages
+    # -> extract -> filter spine is exercisable end-to-end offline; the url
+    # in the text keeps every page distinct under D1 dedup
+    h = zlib.crc32(url.encode()) & 0x7FFFFFFF
+    filler = " ".join(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()[
+            (h + i) % 10
+        ]
+        for i in range(12)
+    )
+    paras = "".join(
+        f"<p>The {filler} report number {h % 997} covers section {i} in detail "
+        f"and explains the findings clearly for every reader involved.</p>"
+        for i in range(4)
+    )
+    body = (
+        f"<html><head><title>Page {url}</title></head>"
+        f"<body>{paras}<p>Deterministic body for {url}.</p></body></html>"
+    ).encode("utf-8")
+    return True, attempts, len(body), body
 
 
 @dataclass
@@ -148,6 +194,13 @@ class WaveRunner:
     # fetch tasks per core: fine-grained tasks pack the tail of the stage
     # (a 2-round schedule of coarse tasks leaves cores idle at the end)
     fetch_tasks_per_core: int = 8
+    # when set, fetched payloads are persisted per wave as parquet under this
+    # dir (input_hint pages shape via .pages()); the wave's delta/metrics are
+    # then derived by RE-READING the sink (payload column pruned) so the
+    # fetch runs exactly once — content feeds the extraction spine instead of
+    # being discarded.  Use a payload-returning fetcher
+    # (make_http_fetcher(keep_content=True) / simulated_fetch_with_payload).
+    page_sink_dir: str | None = None
 
     # ---- snapshot log -----------------------------------------------------
 
@@ -161,7 +214,10 @@ class WaveRunner:
         for d in sorted(os.listdir(self.state_dir)):
             if d.startswith("wave="):
                 w = int(d.split("=")[1])
-                if w == 0 or os.path.exists(os.path.join(self.state_dir, d, "manifest.json")):
+                # Every wave — including the wave-0 seed load — commits via
+                # manifest.json, so an interrupted load_seeds leaves a partial
+                # delta that resume correctly ignores (atomic-commit protocol).
+                if os.path.exists(os.path.join(self.state_dir, d, "manifest.json")):
                     waves.append(w)
         return waves
 
@@ -195,24 +251,53 @@ class WaveRunner:
         )
 
     def state(self, upto_wave: int | None = None) -> DataFrame:
-        """Latest record per url (snapshot read).  Reads the newest usable
-        COMPACTED checkpoint plus only the deltas after it, so the per-wave
-        cost tracks the delta volume, not the full log.  `upto_wave` gives
+        """Latest record per url (snapshot read), resolved in O(delta).
+
+        Reads the newest usable COMPACTED checkpoint plus only the deltas
+        after it.  The latest-record window runs over the DELTAS ONLY (every
+        delta wave > checkpoint wave, so a delta row always beats a checkpoint
+        row for the same url); checkpoint rows survive via a broadcast
+        anti-join against the delta urls — the big checkpoint scan is never
+        shuffled, so per-wave cost tracks delta volume, not frontier size.
+        Iceberg analog: MERGE INTO target USING delta.  `upto_wave` gives
         time travel to any snapshot (resume semantics); raw deltas are never
         deleted, so time travel works below the checkpoint too."""
         waves = self.committed_waves()
         if upto_wave is not None:
             waves = [w for w in waves if w <= upto_wave]
         base = [c for c in self.committed_checkpoints() if not waves or c <= max(waves, default=-1)]
-        paths = []
+        ckpt_path = None
         if base and (upto_wave is None or base[-1] <= upto_wave):
             ckpt = base[-1]
-            paths.append(os.path.join(self._checkpoint_dir(ckpt), "state.parquet"))
+            ckpt_path = os.path.join(self._checkpoint_dir(ckpt), "state.parquet")
             waves = [w for w in waves if w > ckpt]
-        paths += [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
-        log = self.spark.read.parquet(*paths)
-        w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
-        return log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        delta_paths = [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
+
+        resolved_deltas = None
+        if delta_paths:
+            deltas = self.spark.read.parquet(*delta_paths)
+            w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
+            resolved_deltas = (
+                deltas.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if ckpt_path is None:
+            if resolved_deltas is None:
+                raise ValueError(f"no committed waves in {self.state_dir}")
+            return resolved_deltas
+        ckpt_df = self.spark.read.parquet(ckpt_path)
+        if resolved_deltas is None:
+            return ckpt_df
+        # A wave's delta is bounded by the politeness budget + link fan-out —
+        # orders of magnitude smaller than a 10^10-url frontier — so the url
+        # set broadcasts and the checkpoint side stays Exchange-free.  If a
+        # delta ever outgrew broadcast, drop the hint and AQE falls back to a
+        # shuffled anti-join (still O(frontier) I/O but only one shuffle).
+        untouched = ckpt_df.join(
+            F.broadcast(resolved_deltas.select("url")), "url", "left_anti"
+        )
+        return untouched.unionByName(resolved_deltas.select(*untouched.columns))
 
     def fork(self, new_state_dir: str, upto_wave: int | None = None) -> "WaveRunner":
         """Resume mid-crawl from ANY snapshot (north_rule): materialize the
@@ -225,6 +310,9 @@ class WaveRunner:
         snap = self.state(upto_wave=upto_wave)
         forked = dataclasses.replace(self, state_dir=new_state_dir)
         forked._write_delta(snap.withColumn("wave", F.lit(0)), 0)
+        forked._commit(0, {"wave": 0, "forked_from": self.state_dir,
+                           "upto_wave": upto_wave, "done": False,
+                           "n_selected": 0, "n_fetched": 0, "n_failed": 0})
         return forked
 
     def reprioritize(self, scorer: Callable[[DataFrame], Column]) -> int:
@@ -280,6 +368,11 @@ class WaveRunner:
             F.col("discovered_ts").cast("timestamp"),
         )
         self._write_delta(delta, 0)
+        n = self.spark.read.parquet(
+            os.path.join(self._wave_dir(0), "delta.parquet")
+        ).count()  # count the committed bytes, not a recompute of the plan
+        self._commit(0, {"wave": 0, "seeded": n, "done": False,
+                         "n_selected": 0, "n_fetched": 0, "n_failed": 0})
 
     # ---- one wave ----------------------------------------------------------
 
@@ -311,21 +404,28 @@ class WaveRunner:
         """Fetch stage: frontier columns pass straight THROUGH the Arrow UDF,
         so outcomes need no join back to the selection (one shuffle fewer;
         the wide `selected` plan is computed exactly once)."""
-        fetcher = self.fetcher or simulated_fetch
+        keep_payload = self.page_sink_dir is not None
+        fetcher = self.fetcher or (
+            simulated_fetch_with_payload if keep_payload else simulated_fetch
+        )
         max_retries = self.max_retries
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                ok, att, clen = [], [], []
+                ok, att, clen, bodies = [], [], [], []
                 for u in pdf["url"]:
-                    o, a, c = fetcher(u, max_retries)
-                    ok.append(o)
-                    att.append(a)
-                    clen.append(c)
+                    res = fetcher(u, max_retries)
+                    ok.append(res[0])
+                    att.append(res[1])
+                    clen.append(res[2])
+                    if keep_payload:
+                        bodies.append(res[3] if len(res) > 3 else None)
                 out = pdf[["url", "url_hash", "host", "priority", "discovered_ts"]].copy()
                 out["ok"] = ok
                 out["attempts"] = att
                 out["content_length"] = clen
+                if keep_payload:
+                    out["html"] = bodies
                 yield out
 
         # Explicit fan-out: AQE sizes partitions by BYTES, and a wave of URLs
@@ -333,10 +433,30 @@ class WaveRunner:
         # repartition AQE coalesces the wave to ~1 partition and the fetch
         # runs single-threaded.  Fetch parallelism must track cores, not MB.
         parallelism = self.spark.sparkContext.defaultParallelism * self.fetch_tasks_per_core
+        schema = FETCH_PAGE_SCHEMA if keep_payload else FETCH_RESULT_SCHEMA
         return (
             selected.select("url", "url_hash", "host", "priority", "discovered_ts")
             .repartition(parallelism)
-            .mapInPandas(gen, FETCH_RESULT_SCHEMA)
+            .mapInPandas(gen, schema)
+        )
+
+    def _page_sink_path(self, wave: int) -> str:
+        return os.path.join(self.page_sink_dir, f"wave={wave:05d}.parquet")
+
+    def pages(self) -> DataFrame:
+        """Fetched pages in the input_hint shape (url, warc_ts, html, text,
+        lang) across all sink waves — the source the extraction spine
+        (sources.pages / functions.extract) reads.  warc_ts is the frontier
+        discovery time; text/lang are filled downstream by extract + langid."""
+        if self.page_sink_dir is None:
+            raise ValueError("WaveRunner has no page_sink_dir")
+        df = self.spark.read.parquet(os.path.join(self.page_sink_dir, "wave=*.parquet"))
+        return df.filter(F.col("ok")).select(
+            "url",
+            F.col("discovered_ts").alias("warc_ts"),
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
         )
 
     def run_wave(self) -> dict:
@@ -354,6 +474,12 @@ class WaveRunner:
         selected = self.select_wave(state)
 
         results = self._fetch(selected)
+        if self.page_sink_dir is not None:
+            # One fetch pass: persist payloads immediately, then derive the
+            # delta/metrics by re-reading the sink — parquet column pruning
+            # keeps the binary html out of every downstream scan.
+            results.write.mode("overwrite").parquet(self._page_sink_path(wave))
+            results = self.spark.read.parquet(self._page_sink_path(wave))
         outcome = results.select(
             "url", "url_hash", "host",
             F.when(F.col("ok"), "fetched").otherwise("failed").alias("status"),
@@ -406,7 +532,19 @@ class WaveRunner:
             discovered = self.link_expander(outcome.filter(F.col("status") == "fetched"))
             keyed = with_frontier_keys(discovered)
             known = state.select("url").unionByName(outcome.select("url"))
-            fresh = filter_unseen(keyed, known, use_bloom=False).dropDuplicates(["url"])
+            # Deterministic representative per discovered url (NOT
+            # dropDuplicates, which picks an arbitrary row under parallelism):
+            # priority feeds politeness ranking, so crawl order / resume
+            # reproducibility requires the same tie-break as load_seeds.
+            dw = Window.partitionBy("url").orderBy(
+                F.desc("priority"), F.asc("discovered_ts"), F.asc("url")
+            )
+            fresh = (
+                filter_unseen(keyed, known, use_bloom=False)
+                .withColumn("_rn", F.row_number().over(dw))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
             new_pending = fresh.select(
                 "url", "url_hash", "host",
                 F.lit("pending").alias("status"),

@@ -135,6 +135,22 @@ def sql_line_count(text: Column) -> Column:
     return F.size(F.split(text, "\n"))
 
 
+BULLET_CLASS = "^[" + "".join(sorted(BULLET_POINTS)) + "]"
+
+
+def sql_fraction_ellipsis(text: Column) -> Column:
+    """Lines ending with '...' or '…' over total lines (04:37-39 semantics)."""
+    lines = F.split(text, "\n")
+    hits = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    return (hits / F.size(lines)).cast("double")
+
+
+def sql_bullet_point_starts(text: Column) -> Column:
+    """Lines whose first character is in the reference bullet set (04:47-49)."""
+    lines = F.split(text, "\n")
+    return F.size(F.filter(lines, lambda l: l.rlike(BULLET_CLASS))).cast("long")
+
+
 def with_sql_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     wc = sql_word_count(t)
@@ -151,4 +167,6 @@ def with_sql_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 (F.length(F.regexp_replace(t, r"\s+", "")) / wc).cast("double"),
             ).otherwise(F.lit(0.0)),
         )
+        .withColumn("fraction_ellipsis", sql_fraction_ellipsis(t))
+        .withColumn("bullet_point_starts", sql_bullet_point_starts(t))
     )

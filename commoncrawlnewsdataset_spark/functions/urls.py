@@ -32,10 +32,15 @@ def canonicalize_url(url: Column) -> Column:
     once the URL-seen set is keyed on the url itself (north_rule).
     """
     no_frag = F.regexp_replace(url, r"#.*$", "")
-    scheme_host = F.regexp_replace(
-        F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z]+://[^/]+)", 1)),
-        r":(80|443)$",
-        "",
+    scheme_host = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z]+://[^/]+)", 1))
+    # Default ports are scheme-specific: https://host:80 is NOT https://host
+    # (a genuinely different origin), so strip :80 only for http and :443
+    # only for https.
+    scheme = F.regexp_extract(scheme_host, r"^([a-z]+)://", 1)
+    scheme_host = (
+        F.when(scheme == "http", F.regexp_replace(scheme_host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(scheme_host, r":443$", ""))
+        .otherwise(scheme_host)
     )
     rest = F.regexp_replace(no_frag, r"^[a-zA-Z]+://[^/]+", "")
     return F.concat(scheme_host, rest)

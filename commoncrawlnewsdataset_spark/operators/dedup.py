@@ -217,13 +217,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_cap: int = 500,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-token shingles, pairs via inverted index.
+    """Exact Jaccard over distinct k-token shingles, candidates via inverted
+    index, verification against the FULL shingle sets.
 
-    Shuffles: (1) explode+groupBy shingle (inverted index), (2) groupBy pair.
-    A shingle shared by more than `shingle_cap` docs is dropped from the
-    index (stopword-shingle guard — it can only produce candidates that other,
-    rarer shingles also produce, so recall for threshold>0 is unaffected
-    until cap < 1/threshold of corpus)."""
+    Shuffles: (1) explode+groupBy shingle (inverted index), (2) distinct
+    candidate pairs, (3) two joins back to the shingle sets for exact
+    verification.  A shingle shared by more than `shingle_cap` docs is
+    dropped from the CANDIDATE index only (stopword-shingle guard against a
+    quadratic reducer); the Jaccard value itself is always computed from the
+    uncapped sets (array_intersect), so the cap affects candidate recall
+    only — a pair is missed iff ALL its shared shingles are hotter than the
+    cap — never the reported similarity."""
     sets = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -232,14 +236,13 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("sh") > 0)
     )
-    sizes = sets.select("id", F.size("sh").alias("sz"))
 
     inv = sets.select("id", F.explode("sh").alias("s"))
-    # inverted index with hot-key guard
+    # candidate index with hot-key guard (generation side only)
     grouped = inv.groupBy("s").agg(F.collect_list("id").alias("ids")).filter(
         (F.size("ids") > 1) & (F.size("ids") <= shingle_cap)
     )
-    co = grouped.select(
+    cand = grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -251,14 +254,19 @@ def ngram_jaccard_pairs(
                 )
             )
         ).alias("p")
-    ).groupBy("p.a", "p.b").agg(F.count("*").alias("inter"))
+    ).select("p.a", "p.b").distinct()
 
     out = (
-        co.join(sizes.withColumnsRenamed({"id": "a", "sz": "sz_a"}), "a")
-        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sz_b"}), "b")
+        cand.join(sets.withColumnsRenamed({"id": "a", "sh": "sh_a"}), "a")
+        .join(sets.withColumnsRenamed({"id": "b", "sh": "sh_b"}), "b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a").cast("long") + F.size("sh_b") - F.col("inter")),
+                4,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -283,19 +291,36 @@ def cosine_dup_pairs_blocked(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 13,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup vector pairs within blocking keys (exact within block).
 
-    The block join keeps the pair space at Σ block² instead of n²; at 100 TB
-    the block key comes from LSH bucketing (similarity.lsh_buckets) instead of
-    a label column — identical plan shape."""
+    The block join keeps the pair space at Σ block² instead of n².  The
+    DEFAULT block key (block_col=None) is the sign-LSH bucket of the vector
+    itself (similarity.lsh_bucket_expr) — the 100 TB-safe choice: bucket
+    population is controlled by n_planes, independent of any data column's
+    skew.  Pass block_col to block on a metadata column instead (exact
+    within-group dedup)."""
+    if block_col is not None:
+        blk = F.col(block_col)
+    else:
+        from commoncrawlnewsdataset_spark.operators.similarity import (
+            hyperplanes,
+            lsh_bucket_expr,
+        )
+
+        if dim is None:
+            dim = len(emb.select(vec_col).head()[0])  # one-row probe
+        blk = lsh_bucket_expr(F.col(vec_col), hyperplanes(dim, n_planes, seed))
     lhs = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+        blk.alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
     )
     rhs = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+        blk.alias("blk"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
     )
     return (
         lhs.join(rhs, "blk")

@@ -113,6 +113,32 @@ def pick_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd k-means iterations as DataFrame aggregates: assign each vector
+    to its nearest centroid (ivf_assign — JVM-side argmax), then recompute
+    each centroid as the per-dimension mean of its members.  One shuffle per
+    iteration (a single groupBy with `dim` avg aggregates, map-side partial
+    aggregation included); only n_centroids tiny rows reach the driver per
+    iteration.  Empty clusters keep their previous centroid.  Deterministic:
+    ties in assignment break to the lowest index."""
+    dim = len(centroids[0])
+    cents = [list(map(float, c)) for c in centroids]
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        means = assigned.groupBy("_list").agg(
+            *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)]
+        ).collect()
+        new = {r["_list"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -259,7 +260,8 @@ FROM c GROUP BY user_id
 # =========================================================================
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-expressible X5 subset: JVM-side text statistics."""
+    """SQL-expressible X5 subset (7 of 8 metrics — everything except the
+    CPython-isalpha fraction_non_alpha_words): JVM-side text statistics."""
     from commoncrawlnewsdataset_spark.functions.textmetrics import with_sql_text_stats
 
     docs = _t(spark, sf_dir, "documents")
@@ -269,10 +271,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "javascript_count",
         F.round("words_per_line", 4).alias("words_per_line"),
         F.round("mean_word_length", 4).alias("mean_word_length"),
+        F.round("fraction_ellipsis", 4).alias("fraction_ellipsis"),
+        "bullet_point_starts",
     )
 
 
-ORACLE_TEXT_STATS = """
+_DUCK_BULLETS = "•‣▶◀◦■□▪▫–"
+
+ORACLE_TEXT_STATS = f"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS word_count,
        CAST(trunc((length(lower(text)) - length(regexp_replace(lower(text), 'javascript', '', 'g'))) / 10) AS BIGINT) AS javascript_count,
@@ -281,7 +287,10 @@ SELECT doc_id,
        round(CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) > 0
              THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
                   / len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
-             ELSE 0.0 END, 4) AS mean_word_length
+             ELSE 0.0 END, 4) AS mean_word_length,
+       round(CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+             / len(string_split(text, chr(10))), 4) AS fraction_ellipsis,
+       CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[{_DUCK_BULLETS}]'))) AS BIGINT) AS bullet_point_starts
 FROM documents
 """
 
@@ -454,14 +463,20 @@ FROM t
 """
 
 
+LSH_BUCKET_CAP = 200  # production skew guard — the config the oracle checks
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (banded bucket join, SURVEY D-family scale path)."""
+    """MinHash-LSH candidate pairs (banded bucket join, SURVEY D-family scale
+    path) — run WITH the production bucket cap (deterministic sorted-slice),
+    so the green row certifies the plan you'd run at 100 TB; the DuckDB
+    oracle mirrors the cap with list_sort + list_slice."""
     from commoncrawlnewsdataset_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=N_MINHASH, bands=MINHASH_BANDS, k=1,
-        bucket_cap=1_000_000,  # exact (uncapped) for oracle parity at test SFs
+        bucket_cap=LSH_BUCKET_CAP,
     )
 
 
@@ -479,10 +494,16 @@ def _oracle_minhash_pairs() -> str:
 WITH t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
-), buckets AS ({buckets})
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM buckets x JOIN buckets y USING (band, bucket)
-WHERE x.doc_id < y.doc_id
+), buckets AS ({buckets}),
+capped AS (
+  SELECT band, bucket, list_slice(list_sort(list(doc_id)), 1, {LSH_BUCKET_CAP}) AS ids
+  FROM buckets GROUP BY band, bucket HAVING count(*) > 1
+), e AS (
+  SELECT band, bucket, unnest(ids) AS id FROM capped
+)
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM e x JOIN e y USING (band, bucket)
+WHERE x.id < y.id
 """
 
 
@@ -520,28 +541,53 @@ FROM h
 
 
 JACCARD_THRESHOLD = 0.62
+JACCARD_K = 2  # bigram shingles — the production config, not the easy one
+JACCARD_SHINGLE_CAP = 500  # hot-shingle candidate guard (generation side only)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs via inverted-index self-join."""
+    """Exact bigram-shingle Jaccard near-dup pairs: candidates via the capped
+    inverted index (production skew guard), verification exact against the
+    full shingle sets.  The DuckDB oracle mirrors the capped candidate
+    generation, so the green row certifies the scale-safe plan."""
     from commoncrawlnewsdataset_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=1, threshold=JACCARD_THRESHOLD, shingle_cap=1_000_000
+        docs, "doc_id", "text", k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD, shingle_cap=JACCARD_SHINGLE_CAP,
     )
 
 
+# bigram shingles in DuckDB: toks[i] || ' ' || toks[i+1] over 1-based indices
+_DUCK_SHINGLES_K2 = (
+    "list_distinct(CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) "
+    "ELSE [] END)"
+)
+
 ORACLE_JACCARD = f"""
-WITH s AS (
-  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS sh
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
+), s AS (
+  SELECT doc_id, {_DUCK_SHINGLES_K2} AS sh FROM t
+), s2 AS (
+  SELECT doc_id, sh FROM s WHERE len(sh) > 0
+), inv AS (
+  SELECT doc_id, unnest(sh) AS tok FROM s2
+), ok_tok AS (
+  SELECT tok FROM inv GROUP BY tok
+  HAVING count(*) > 1 AND count(*) <= {JACCARD_SHINGLE_CAP}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM inv x JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  WHERE x.tok IN (SELECT tok FROM ok_tok)
 ), p AS (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-  FROM s x JOIN s y ON x.doc_id < y.doc_id
-  WHERE len(x.sh) > 0 AND len(y.sh) > 0
+  SELECT a, b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand JOIN s2 sa ON cand.a = sa.doc_id JOIN s2 sb ON cand.b = sb.doc_id
 )
 SELECT a, b, jaccard FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
 """
@@ -643,7 +689,57 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commoncrawlnewsdataset_spark.operators.dedup import cosine_dup_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_dup_pairs_blocked(emb, threshold=COSINE_DUP_THRESHOLD)
+    return cosine_dup_pairs_blocked(
+        emb, block_col="label", threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+LSH_DUP_PLANES = 6
+LSH_DUP_THRESHOLD = 0.15
+EMB_DIM = 64
+
+
+def q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by the vector's OWN sign-LSH bucket —
+    the scale-safe default (no data-column skew; bucket count = 2^n_planes).
+    The DuckDB oracle reproduces the buckets bit-for-bit from the same
+    hyperplane constants, so the green row certifies the production plan."""
+    from commoncrawlnewsdataset_spark.operators.dedup import cosine_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs_blocked(
+        emb, threshold=LSH_DUP_THRESHOLD, n_planes=LSH_DUP_PLANES, dim=EMB_DIM
+    )
+
+
+def _oracle_cosine_dups_lsh() -> str:
+    """Inline the deterministic hyperplanes as SQL constants; the bucket bit
+    is sign(Σ v[i]*c[i]) with the SAME left-to-right summation order as
+    Spark's F.aggregate fold, so the doubles agree bitwise."""
+    from commoncrawlnewsdataset_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(EMB_DIM, LSH_DUP_PLANES, seed=13)
+    bits = []
+    for j, p in enumerate(planes):
+        dot = " + ".join(f"v[{i + 1}]*({c!r})" for i, c in enumerate(p))
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bucket} AS blk FROM e
+), p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i])), (s,t) -> s + t)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(x.v, t -> t*t)), (s,t) -> s + t))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(y.v, t -> t*t)), (s,t) -> s + t))), 4) AS cos
+  FROM b x JOIN b y ON x.blk = y.blk AND x.vec_id < y.vec_id
+)
+SELECT a, b, cos FROM p WHERE cos >= {LSH_DUP_THRESHOLD}
+"""
 
 
 ORACLE_COSINE_DUPS = f"""
@@ -1142,6 +1238,175 @@ GROUP BY host
 """
 
 
+WAVE_BUDGET = 8
+
+
+def md5_fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
+    """Deterministic fetch outcome derived from md5 (NOT crc32) so DuckDB can
+    reproduce it: fail iff H%13==0 (after max_retries), retry-once iff H%7==0."""
+    import hashlib
+
+    h = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
+    if h % 13 == 0:
+        return False, max_retries, 0
+    if h % 7 == 0:
+        return True, 2, 1000 + h % 50_000
+    return True, 1, 1000 + h % 50_000
+
+
+def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two REAL crawl waves — the full WaveRunner machinery: politeness
+    window, URL-seen gate, link discovery, per-wave snapshot commit + resume
+    read — on a frontier seeded from the orders table with md5-derived fetch
+    outcomes.  Every step is therefore reproducible in pure SQL: the oracle
+    re-plays wave-1 selection, fetch outcomes, /next discovery, wave-2
+    selection and outcomes, and checks the FINAL resolved state's
+    per-(host,status) url counts and attempt sums.  A green row certifies
+    the wave loop end-to-end (north_rule crawl-order contract: priority
+    DESC, discovered_ts, url)."""
+    import tempfile
+
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+
+    seeds = _seed_frontier(spark, sf_dir).select(
+        "url",
+        "priority",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"),
+    )
+
+    def expander(fetched):
+        return fetched.select(
+            F.concat(F.col("url"), F.lit("/next")).alias("url"),
+            F.lit(0.25).alias("priority"),
+            F.col("discovered_ts"),
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="frontier-oracle-")
+    runner = WaveRunner(
+        spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
+        use_robots=False, fetcher=md5_fetch, link_expander=expander,
+        detailed_metrics=False,
+    )
+    runner.load_seeds(seeds)
+    runner.run_wave()
+    runner.run_wave()
+    return (
+        runner.state()
+        .groupBy("host", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("attempts").cast("long").alias("sum_attempts"),
+        )
+    )
+
+
+_DUCK_FETCH = (
+    "CASE WHEN h % 13 = 0 THEN 'failed' ELSE 'fetched' END AS status, "
+    "CASE WHEN h % 13 = 0 THEN 5 WHEN h % 7 = 0 THEN 2 ELSE 1 END AS attempts"
+)
+
+ORACLE_FRONTIER_WAVES = f"""
+WITH seeds AS (
+  SELECT {_URL_DUCK} AS url,
+         concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+         round(o_totalprice, 4) AS priority
+  FROM orders
+), r1 AS (
+  SELECT url, host, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn
+  FROM seeds
+), f1 AS (
+  SELECT url, host, {_DUCK_FETCH}
+  FROM (SELECT url, host, ('0x' || substr(md5(url), 1, 8))::BIGINT AS h
+        FROM r1 WHERE rn <= {WAVE_BUDGET})
+), pend1 AS (
+  SELECT url, host, priority FROM r1 WHERE rn > {WAVE_BUDGET}
+  UNION ALL
+  SELECT url || '/next' AS url, host, 0.25 AS priority FROM f1 WHERE status = 'fetched'
+), r2 AS (
+  SELECT url, host, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn
+  FROM pend1
+), f2 AS (
+  SELECT url, host, {_DUCK_FETCH}
+  FROM (SELECT url, host, ('0x' || substr(md5(url), 1, 8))::BIGINT AS h
+        FROM r2 WHERE rn <= {WAVE_BUDGET})
+), final AS (
+  SELECT host, status, attempts FROM f1
+  UNION ALL SELECT host, status, attempts FROM f2
+  UNION ALL SELECT host, 'pending' AS status, 0 AS attempts FROM r2 WHERE rn > {WAVE_BUDGET}
+  UNION ALL SELECT host, 'pending' AS status, 0 AS attempts FROM f2 WHERE status = 'fetched'
+)
+SELECT host, status, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(attempts) AS BIGINT) AS sum_attempts
+FROM final GROUP BY host, status
+"""
+
+
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P1/F1 end-to-end with a hard value oracle: synthesize multi-record
+    WARC shards (warcinfo + request + response per doc) from the documents
+    table inside an Arrow batch, parse them back with the from-scratch
+    WARC/1.0 reader (sources/warc.py), and project the reference's columns
+    (02_extract_newscrawl.py:26-33).  The oracle is a pure projection of
+    `documents`, so a green row proves: response-only filtering (request /
+    warcinfo records dropped), header projection, and byte-intact payloads
+    (md5 over the HTTP body)."""
+    from commoncrawlnewsdataset_spark.sources.pages import parse_warc_blobs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def build(batches):
+        from datetime import datetime, timedelta
+
+        from commoncrawlnewsdataset_spark.sources.warc import (
+            build_request_record,
+            build_response_record,
+            build_warcinfo,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        for pdf in batches:
+            chunks = [build_warcinfo("2024-01-01T00:00:00Z", gzip_member=True)]
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://warc.example/doc/{did}"
+                date = (t0 + timedelta(seconds=int(did))).strftime("%Y-%m-%dT%H:%M:%SZ")
+                chunks.append(
+                    build_request_record(url, date, f"<urn:uuid:req-{did}>", gzip_member=True)
+                )
+                chunks.append(
+                    build_response_record(
+                        url, date, f"<urn:uuid:{did}>", (text or "").encode("utf-8"),
+                        gzip_member=True,
+                    )
+                )
+            yield pd.DataFrame({"content": [b"".join(chunks)]})
+
+    blobs = docs.select("doc_id", "text").repartition(8).mapInPandas(
+        build, "content binary"
+    )
+    recs = parse_warc_blobs(blobs)
+    return recs.select(
+        "id",
+        "url",
+        "warc_ts",
+        "mime_type",
+        F.length("content").cast("long").alias("body_len"),
+        F.md5("content").alias("body_md5"),
+    )
+
+
+ORACLE_WARC_SCAN = """
+SELECT '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS id,
+       'https://warc.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       'text/html' AS mime_type,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS body_len,
+       md5(coalesce(text, '')) AS body_md5
+FROM documents WHERE doc_id < 200
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1186,12 +1451,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ranges": q_calibration_ranges,
         "cosine_topk": q_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_dup_pairs_lsh": q_cosine_dup_pairs_lsh,
         "int8_quantize": q_int8_quantize,
         "binary_quantize": q_binary_quantize,
         # frontier semantics
         "politeness_wave": q_politeness_wave,
         "url_seen_antijoin": q_url_seen_antijoin,
         "robots_gating": q_robots_gating,
+        "frontier_waves": q_frontier_waves,
+        # ingestion
+        "warc_scan": q_warc_scan,
     }
 
 
@@ -1232,9 +1501,12 @@ def oracle_sqls() -> dict[str, str]:
         "calibration_ranges": ORACLE_CALIBRATION,
         "cosine_topk": ORACLE_COSINE_TOPK,
         "cosine_dup_pairs": ORACLE_COSINE_DUPS,
+        "cosine_dup_pairs_lsh": _oracle_cosine_dups_lsh(),
         "int8_quantize": ORACLE_INT8,
         "binary_quantize": ORACLE_BINARY,
         "politeness_wave": ORACLE_POLITENESS,
         "url_seen_antijoin": ORACLE_URL_SEEN,
         "robots_gating": ORACLE_ROBOTS,
+        "frontier_waves": ORACLE_FRONTIER_WAVES,
+        "warc_scan": ORACLE_WARC_SCAN,
     }

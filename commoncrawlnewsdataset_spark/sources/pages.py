@@ -4,10 +4,10 @@ Reference: stage 02 parses WARC shards with warcio into per-file feathers
 (02_extract_newscrawl.py:18-60) and *deletes* the WARC afterwards (02:58-60).
 Here:
 
-- ``read_warc`` — `binaryFile` scan + mapInPandas warcio parse (S4).  warcio
-  is not installed in this container, so the parser is gated behind an
-  import-try; the plumbing (schema, batching, response-only filter F1) is
-  real and the fallback raises a clear error.
+- ``read_warc`` — `binaryFile` scan + mapInPandas parse (S4) using the
+  from-scratch WARC/1.0 reader in sources/warc.py (public plain-text format;
+  no warcio needed), response-only filter F1 + header projection P1 inside
+  the scan stage so non-response payloads never leave it.
 - ``write_pages`` / ``read_pages`` — parquet partitioned by month(warc_ts)
   + bucketed-by-host layout hint, mirroring the reference's YYYY-MM dirs
   (01_download_newscrawl.py:41-43).  Month partition pruning makes
@@ -27,56 +27,49 @@ from pyspark.sql import functions as F
 
 from commoncrawlnewsdataset_spark.schemas import WARC_RECORDS_SCHEMA
 
-try:  # pragma: no cover - not installed in the sandbox
-    from warcio.archiveiterator import ArchiveIterator  # type: ignore
+def _records_from_bytes(content: bytes) -> list[dict]:
+    """Response records of one WARC blob as rows (reference projection,
+    02_extract_newscrawl.py:26-33)."""
+    from commoncrawlnewsdataset_spark.sources.warc import iter_warc_records
 
-    HAVE_WARCIO = True
-except ImportError:
-    ArchiveIterator = None
-    HAVE_WARCIO = False
+    rows = []
+    for rec in iter_warc_records(content):
+        if rec.rec_type != "response":
+            continue
+        rows.append(
+            {
+                "id": rec.header("WARC-Record-ID"),
+                "url": rec.header("WARC-Target-URI"),
+                "warc_ts": pd.to_datetime(rec.header("WARC-Date")).tz_localize(None),
+                "content_length": int(rec.header("Content-Length") or 0),
+                "mime_type": rec.http_header("Content-Type"),
+                "content": rec.content,
+            }
+        )
+    return rows
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """S4 WARC record scan: one task per WARC shard, response records only
-    (F1, 02_extract_newscrawl.py:26), header projection P1 (02:27-33)."""
-    if not HAVE_WARCIO:
-        raise ImportError(
-            "warcio is required for WARC ingestion; install it or ingest "
-            "pre-parsed pages parquet (sources.pages.read_pages)."
-        )
+    (F1, 02_extract_newscrawl.py:26), header projection P1 (02:27-33).
+    Parsing is the from-scratch WARC/1.0 reader — pure Python inside an
+    Arrow-batched mapInPandas, one shard per row of the binaryFile scan."""
     binaries = spark.read.format("binaryFile").load(path_glob)
+    return parse_warc_blobs(binaries.select("content"))
+
+
+def parse_warc_blobs(blobs: DataFrame) -> DataFrame:
+    """mapInPandas WARC parse of a `content: binary` column (shared by the
+    file scan above and the synthesized-bytes oracle query)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import gzip
-        import io
-
         for pdf in batches:
-            rows = []
+            rows: list[dict] = []
             for content in pdf["content"]:
-                stream = io.BytesIO(content)
-                wrapped = gzip.open(stream) if content[:2] == b"\x1f\x8b" else stream
-                for rec in ArchiveIterator(wrapped):
-                    if rec.rec_type != "response":
-                        continue
-                    rows.append(
-                        {
-                            "id": rec.rec_headers.get_header("WARC-Record-ID"),
-                            "url": rec.rec_headers.get_header("WARC-Target-URI"),
-                            "warc_ts": pd.to_datetime(
-                                rec.rec_headers.get_header("WARC-Date")
-                            ).tz_localize(None),
-                            "content_length": int(
-                                rec.rec_headers.get_header("Content-Length") or 0
-                            ),
-                            "mime_type": rec.http_headers.get_header("Content-Type")
-                            if rec.http_headers
-                            else None,
-                            "content": rec.content_stream().read(),
-                        }
-                    )
+                rows.extend(_records_from_bytes(content))
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS_SCHEMA.fields])
 
-    return binaries.select("content").mapInPandas(parse, WARC_RECORDS_SCHEMA)
+    return blobs.mapInPandas(parse, WARC_RECORDS_SCHEMA)
 
 
 def warc_records_to_pages(records: DataFrame) -> DataFrame:

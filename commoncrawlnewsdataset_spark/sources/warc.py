@@ -1,0 +1,186 @@
+"""From-scratch WARC/1.0 reader + writer (no warcio dependency).
+
+WARC (ISO 28500) is a public plain-text record format: each record is a
+version line ``WARC/1.0``, CRLF-separated named headers, a blank line, then
+exactly ``Content-Length`` payload bytes, then ``CRLF CRLF``.  A ``.warc.gz``
+is a sequence of independently-gzipped records (or one gzip stream) — Python's
+zlib handles concatenated members.
+
+Parity target: the subset of warcio behavior the reference uses
+(02_extract_newscrawl.py:18-39):
+
+- ``rec_type`` == the ``WARC-Type`` header (F1 filters to ``response``),
+- header projection ``WARC-Record-ID`` / ``WARC-Target-URI`` / ``WARC-Date``
+  / ``Content-Length`` (P1),
+- ``http_headers.get_header('Content-Type')`` == the HTTP Content-Type when
+  the record's WARC Content-Type is ``application/http``,
+- ``content_stream().read()`` == the HTTP body (headers stripped) for http
+  records, the raw payload otherwise.
+
+The writer exists for fixtures and the oracle-checked ``warc_scan`` query:
+WARC bytes synthesized from the documents table round-trip through this
+parser, so payload integrity is value-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass, field
+
+
+@dataclass
+class WarcRecord:
+    rec_type: str
+    headers: dict[str, str]  # WARC headers, lowercased names
+    http_headers: dict[str, str] = field(default_factory=dict)  # lowercased
+    content: bytes = b""  # HTTP body for http records, raw payload otherwise
+
+    def header(self, name: str) -> str | None:
+        return self.headers.get(name.lower())
+
+    def http_header(self, name: str) -> str | None:
+        return self.http_headers.get(name.lower())
+
+
+def _parse_header_block(block: bytes) -> tuple[str, dict[str, str]]:
+    """First line + name->value dict (names lowercased; WARC headers are
+    case-insensitive per spec)."""
+    text = block.decode("utf-8", "replace")
+    lines = text.split("\r\n")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if not line:
+            continue
+        name, sep, value = line.partition(":")
+        if sep:
+            headers[name.strip().lower()] = value.strip()
+    return lines[0], headers
+
+
+def _split_http_payload(payload: bytes) -> tuple[dict[str, str], bytes]:
+    """HTTP message -> (headers, body).  Tolerates a missing header block the
+    way warcio does (returns the raw payload as body)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return {}, payload
+    _status, headers = _parse_header_block(payload[:sep])
+    return headers, payload[sep + 4 :]
+
+
+def _gunzip_all(raw: bytes) -> bytes:
+    """Decompress a possibly multi-member gzip stream (CC-style .warc.gz is
+    one gzip member per record)."""
+    out = io.BytesIO()
+    with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gz:
+        # GzipFile reads across concatenated members transparently
+        while True:
+            chunk = gz.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return out.getvalue()
+
+
+def iter_warc_records(raw: bytes):
+    """Yield WarcRecord for every record in a WARC (or .warc.gz) byte string.
+
+    Malformed trailing garbage ends iteration (same forgiving posture as the
+    reference's per-record try/except, 02_extract_newscrawl.py:33-35)."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gunzip_all(raw)
+    pos, n = 0, len(raw)
+    while pos < n:
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        end_hdr = raw.find(b"\r\n\r\n", pos)
+        if end_hdr < 0:
+            break
+        version, headers = _parse_header_block(raw[pos:end_hdr])
+        if not version.startswith("WARC/"):
+            break
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body_start = end_hdr + 4
+        payload = raw[body_start : body_start + clen]
+        pos = body_start + clen
+        rec_type = headers.get("warc-type", "")
+        content_type = headers.get("content-type", "")
+        if content_type.startswith("application/http"):
+            http_headers, body = _split_http_payload(payload)
+        else:
+            http_headers, body = {}, payload
+        yield WarcRecord(rec_type, headers, http_headers, body)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + oracle-checked round trip)
+# ---------------------------------------------------------------------------
+
+def build_record(
+    rec_type: str,
+    headers: dict[str, str],
+    payload: bytes,
+    gzip_member: bool = False,
+) -> bytes:
+    lines = [f"WARC/1.0", f"WARC-Type: {rec_type}"]
+    lines += [f"{k}: {v}" for k, v in headers.items()]
+    lines.append(f"Content-Length: {len(payload)}")
+    raw = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8") + payload + b"\r\n\r\n"
+    return gzip.compress(raw) if gzip_member else raw
+
+
+def build_response_record(
+    url: str,
+    date: str,
+    record_id: str,
+    body: bytes,
+    mime: str = "text/html",
+    gzip_member: bool = False,
+) -> bytes:
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {mime}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8") + body
+    return build_record(
+        "response",
+        {
+            "WARC-Record-ID": record_id,
+            "WARC-Target-URI": url,
+            "WARC-Date": date,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        http,
+        gzip_member,
+    )
+
+
+def build_request_record(
+    url: str, date: str, record_id: str, gzip_member: bool = False
+) -> bytes:
+    http = f"GET {url} HTTP/1.1\r\nHost: x\r\n\r\n".encode("utf-8")
+    return build_record(
+        "request",
+        {
+            "WARC-Record-ID": record_id,
+            "WARC-Target-URI": url,
+            "WARC-Date": date,
+            "Content-Type": "application/http; msgtype=request",
+        },
+        http,
+        gzip_member,
+    )
+
+
+def build_warcinfo(date: str, gzip_member: bool = False) -> bytes:
+    payload = b"software: commoncrawlnewsdataset-spark-synth\r\n"
+    return build_record(
+        "warcinfo",
+        {"WARC-Date": date, "Content-Type": "application/warc-fields"},
+        payload,
+        gzip_member,
+    )

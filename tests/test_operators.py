@@ -225,3 +225,107 @@ def test_salted_hot_key_join_equals_plain(spark):
     )
     want = sorted((r["fid"], r["label"]) for r in facts.join(dim, "k").collect())
     assert got == want
+
+
+def test_kmeans_refine_improves_assignment(spark):
+    """Lloyd iterations as DataFrame aggregates: deterministic, and the mean
+    member->centroid cosine (inertia analog) improves over the seed pick."""
+    from commoncrawlnewsdataset_spark.operators.dedup import cosine_sim
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+        pick_centroids,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 8)) * 5
+    vecs = np.vstack([centers[i % 4] + rng.normal(size=8) for i in range(240)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    seeds = pick_centroids(df, 4)
+    refined = kmeans_refine(df, seeds, n_iter=3)
+    assert refined == kmeans_refine(df, seeds, n_iter=3)  # deterministic
+    assert len(refined) == 4 and all(len(c) == 8 for c in refined)
+
+    def mean_sim(cents):
+        assigned = ivf_assign(df, cents)
+        v = F.col("embedding").cast("array<double>")
+        sim = None
+        for i, c in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            s = cosine_sim(v, cvec)
+            sim = F.when(F.col("_list") == i, s) if sim is None else sim.when(F.col("_list") == i, s)
+        return assigned.select(F.avg(sim).alias("m")).first()["m"]
+
+    assert mean_sim(refined) > mean_sim(seeds)
+    # refined centroids sit near the true cluster centers (cosine > 0.95)
+    for c in refined:
+        best = max(
+            float(np.dot(c, t) / (np.linalg.norm(c) * np.linalg.norm(t)))
+            for t in centers
+        )
+        assert best > 0.95
+
+
+def test_point_in_polygon_ray_casting(spark):
+    """X15 with REAL polygons (ray casting as JVM column arithmetic): parity
+    with a reference-style pure-Python even-odd ray caster on a non-convex
+    L-shape, including points inside the notch (where the bbox lies)."""
+    from commoncrawlnewsdataset_spark.operators.spatial import point_in_polygon
+
+    # L-shaped ring (counter-clockwise, not closed)
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)]
+    xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+
+    def ref_contains(px, py):  # the classic even-odd crossing test
+        inside, j = False, len(ring) - 1
+        for i in range(len(ring)):
+            xi, yi = ring[i]
+            xj, yj = ring[j]
+            if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+                inside = not inside
+            j = i
+        return inside
+
+    pts = [
+        (1.0, 1.0), (3.0, 1.0), (1.0, 3.0),      # inside the L
+        (3.0, 3.0),                               # inside bbox, inside NOTCH -> out
+        (5.0, 1.0), (-1.0, 2.0), (1.0, 5.0),      # outside bbox
+        (3.9, 1.9), (2.1, 3.9),                   # near corners, inside
+    ]
+    df = spark.createDataFrame(pts, ["px", "py"]).withColumn(
+        "inside",
+        point_in_polygon(
+            F.col("px"), F.col("py"),
+            F.array(*[F.lit(x) for x in xs]), F.array(*[F.lit(y) for y in ys]),
+        ),
+    )
+    got = {(r["px"], r["py"]): r["inside"] for r in df.collect()}
+    for px, py in pts:
+        assert got[(px, py)] == ref_contains(px, py), (px, py)
+    assert got[(3.0, 3.0)] is False  # the rectangle stub would get this wrong
+
+
+def test_point_in_region_join_polygon_dim(spark):
+    """The X15 join with a polygon dimension: notch points fall back to the
+    lower-level region, max-LEVL selection unchanged (07_geocode_news.py:82-97)."""
+    from commoncrawlnewsdataset_spark.operators.spatial import point_in_region_join
+
+    regions = spark.createDataFrame(
+        [
+            ("DE2L", "Lshape", 3,
+             [0.0, 4.0, 4.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]),
+            ("DE", "Germany", 0,
+             [-1.0, 6.0, 6.0, -1.0], [-1.0, -1.0, 6.0, 6.0]),
+        ],
+        ["NUTS_ID", "NUTS_NAME", "LEVL_CODE", "ring_x", "ring_y"],
+    )
+    pts = spark.createDataFrame(
+        [("in-l", 1.0, 1.0), ("in-notch", 3.0, 3.0), ("outside", 10.0, 10.0)],
+        ["loc_normal", "longitude", "latitude"],
+    )
+    out = {r["loc_normal"]: r for r in point_in_region_join(pts, regions).collect()}
+    assert out["in-l"]["NUTS"] == "DE2L"      # level-3 polygon wins
+    assert out["in-notch"]["NUTS"] == "DE"    # notch -> only the country ring
+    assert out["outside"]["NUTS"] is None     # left join keeps unmatched

@@ -1,0 +1,93 @@
+"""From-scratch WARC/1.0 reader (sources/warc.py) + the S4 ingestion spine.
+
+Reference semantics under test: 02_extract_newscrawl.py:18-39 — response-only
+filter (F1), header projection (P1), content bytes intact.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.sources.pages import read_warc, warc_records_to_pages
+from commoncrawlnewsdataset_spark.sources.warc import (
+    build_request_record,
+    build_response_record,
+    build_warcinfo,
+    iter_warc_records,
+)
+
+DATE = "2024-03-05T12:00:07Z"
+
+
+def _shard(gz: bool) -> bytes:
+    return (
+        build_warcinfo(DATE, gzip_member=gz)
+        + build_request_record("https://a.example/1", DATE, "<urn:uuid:rq1>", gzip_member=gz)
+        + build_response_record(
+            "https://a.example/1", DATE, "<urn:uuid:a1>",
+            "<html><p>ümlaut körper</p></html>".encode("utf-8"), gzip_member=gz,
+        )
+        + build_response_record(
+            "https://a.example/2", DATE, "<urn:uuid:a2>",
+            b"\x00\x01\xffraw bytes", mime="application/octet-stream", gzip_member=gz,
+        )
+    )
+
+
+def test_parser_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        recs = list(iter_warc_records(_shard(gz)))
+        assert [r.rec_type for r in recs] == ["warcinfo", "request", "response", "response"]
+        resp = [r for r in recs if r.rec_type == "response"]
+        assert resp[0].content == "<html><p>ümlaut körper</p></html>".encode("utf-8")
+        assert resp[1].content == b"\x00\x01\xffraw bytes"
+        assert resp[0].http_header("Content-Type") == "text/html"
+        assert resp[1].http_header("content-type") == "application/octet-stream"
+        assert resp[0].header("WARC-Target-URI") == "https://a.example/1"
+        assert resp[0].header("warc-date") == DATE
+
+
+def test_parser_whole_file_gzip():
+    """A single gzip stream over many records (the other .warc.gz layout)."""
+    blob = gzip.compress(_shard(False))
+    recs = list(iter_warc_records(blob))
+    assert sum(r.rec_type == "response" for r in recs) == 2
+
+
+def test_parser_tolerates_trailing_garbage():
+    blob = _shard(False) + b"NOT A WARC RECORD"
+    assert sum(r.rec_type == "response" for r in iter_warc_records(blob)) == 2
+
+
+def test_read_warc_spark_scan(spark, tmp_path):
+    """S4 end-to-end: binaryFile scan -> mapInPandas parse -> P1 projection ->
+    pages shape; request/warcinfo records never surface (F1)."""
+    for i, gz in enumerate((True, False)):
+        name = f"shard{i}.warc.gz" if gz else f"shard{i}.warc"
+        (tmp_path / name).write_bytes(_shard(gz))
+    records = read_warc(spark, str(tmp_path / "shard*"))
+    rows = records.orderBy("id", "url").collect()
+    assert len(rows) == 4  # 2 responses x 2 shards
+    by_url = {(r["id"], r["url"]): r for r in rows}
+    r1 = by_url[("<urn:uuid:a1>", "https://a.example/1")]
+    assert bytes(r1["content"]) == "<html><p>ümlaut körper</p></html>".encode("utf-8")
+    assert r1["mime_type"] == "text/html"
+    assert r1["warc_ts"] == pd.Timestamp("2024-03-05T12:00:07").to_pydatetime()
+    # P5 projection to the input_hint pages shape
+    pages = warc_records_to_pages(records)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert pages.filter(F.col("html").isNotNull()).count() == 4
+
+
+def test_content_length_header_is_full_http_payload():
+    """Content-Length covers the whole HTTP message (headers + body), as in
+    real CC WARCs — the parser must consume exactly that many bytes."""
+    body = b"x" * 100
+    rec = build_response_record("https://a.example/cl", DATE, "<urn:uuid:cl>", body)
+    parsed = next(iter(iter_warc_records(rec)))
+    clen = int(parsed.header("Content-Length"))
+    assert clen > 100  # includes the HTTP header block
+    assert parsed.content == body

@@ -89,13 +89,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from commoncrawlnewsdataset_spark.plans.queries import oracle_sqls, spark_queries
+    import __spark_entry__ as entrymod
+
     from commoncrawlnewsdataset_spark.session import get_spark
 
     spark = get_spark("selfcheck", master="local[8]", shuffle_partitions=8)
     con = duck_conn(sf_dir)
-    queries = spark_queries()
-    oracles = oracle_sqls()
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
 
     failed = []
     for name, fn in queries.items():
@@ -109,8 +110,14 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
-            n = sdf.count()
-            print(f"ok?  {name}: rows-only check, {n} rows")
+            # replicate the driver's rows-only path INCLUDING canonicalization
+            # (round 1: array columns blew up the driver's pandas sort)
+            try:
+                pdf = normalize(sdf.toPandas())
+                print(f"ok?  {name}: rows-only check, {len(pdf)} rows")
+            except Exception as e:
+                print(f"FAIL {name}: canonicalizer error: {e}")
+                failed.append(name)
             continue
         try:
             rel = con.sql(sql)

@@ -48,6 +48,12 @@ def main() -> None:
         "int8_quantize",
         "politeness_wave",
         "url_seen_antijoin",
+        # round 2: from-scratch WARC round-trip and the production-capped
+        # near-dup configs (the exact plans the oracle now certifies)
+        "warc_scan",
+        "jaccard_pairs",
+        "minhash_lsh_pairs",
+        "cosine_dup_pairs_lsh",
     ]
     registry = spark_queries()
     # warm up the JVM/codegen/python-worker pools so the first timed query

@@ -503,7 +503,7 @@ class WaveRunner:
         if n_selected == 0:
             manifest = {"wave": wave, "n_selected": 0, "done": True,
                         "elapsed_s": time.time() - t0}
-            self._write_delta(outcome, wave)
+            self._write_delta(outcome.coalesce(1), wave)
             self._commit(wave, manifest)
             outcome.unpersist()
             state.unpersist()
@@ -555,6 +555,11 @@ class WaveRunner:
             ).cache()
             n_discovered = new_pending.count()
             delta = outcome.unionByName(new_pending)
+        # outcome is cached by the metrics collect above, so this coalesce
+        # reads the cache with `cores` tasks instead of writing cores×8 tiny
+        # parquet files from the fetch fan-out (it can NOT collapse the fetch
+        # stage's parallelism — that stage already ran)
+        delta = delta.coalesce(self.spark.sparkContext.defaultParallelism)
         self._write_delta(delta, wave)
         elapsed = time.time() - t0
         manifest = {

@@ -28,7 +28,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
@@ -92,6 +92,16 @@ def build_bloom_shards(
     return by_shard.groupBy("shard").applyInPandas(_build, BLOOM_SHARD_SCHEMA)
 
 
+def _bit_is_set(bits: Column, pos: Column) -> Column:
+    """Bit test on a binary bitset as pure JVM expressions: byte = the
+    pos//8-th byte (1-based substring), then mask pos%8."""
+    byte = F.substring(bits, F.floor(pos / 8).cast("int") + 1, 1)
+    byte_int = F.conv(F.hex(byte), 16, 10).cast("int")
+    # shiftleft needs a literal count; 2^(pos%8) via pow works for byte range
+    mask = F.pow(F.lit(2.0), (pos % 8).cast("double"))
+    return (byte_int / mask).cast("int") % 2 == 1
+
+
 def bloom_probe(
     candidates: DataFrame,
     bloom_shards: DataFrame,
@@ -101,38 +111,32 @@ def bloom_probe(
     expected_per_shard: int = 1_000_000,
 ) -> DataFrame:
     """Adds ``maybe_seen: boolean``.  False => definitely-new (bloom has no
-    false negatives); True => must be confirmed by the exact anti-join."""
+    false negatives); True => must be confirmed by the exact anti-join.
+
+    The bit tests run as JVM column expressions on the broadcast-joined
+    bitset — inside whole-stage codegen the joined `bits` value is a
+    REFERENCE into the broadcast relation.  (The original pandas-UDF probe
+    serialized the full shard bitset through Arrow for EVERY candidate row:
+    at 1 MB/shard x 10^6 rows that is terabytes through the Python channel —
+    it spilled 59 GB and hung at a 10^6-url frontier.  Scale rule: never
+    project a broadcast-joined wide value into a Python stage.)"""
     m = m_bits_per_shard or bloom_num_bits(expected_per_shard)
-    pos = F.array(*_bit_positions(url_col, m))
     probed = candidates.withColumn(
         "_shard", F.pmod(F.hash(F.col(url_col)), F.lit(num_shards)).cast("int")
-    ).withColumn("_pos", pos)
+    )
     joined = probed.join(
         F.broadcast(bloom_shards.withColumnsRenamed({"shard": "_shard", "bits": "_bits"})),
         "_shard",
         "left",
     )
-
-    @F.pandas_udf("boolean")
-    def _test(bits: pd.Series, positions: pd.Series) -> pd.Series:
-        out = []
-        cache: dict[int, np.ndarray] = {}
-        for b, ps in zip(bits, positions):
-            if b is None:
-                out.append(False)
-                continue
-            key = id(b)
-            arr = cache.get(key)
-            if arr is None:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                cache[key] = arr
-            p = np.asarray(ps, dtype=np.int64)
-            out.append(bool(np.all(arr[p // 8] & (1 << (p % 8)).astype(np.uint8))))
-        return pd.Series(out)
-
-    return joined.withColumn("maybe_seen", _test(F.col("_bits"), F.col("_pos"))).drop(
-        "_shard", "_pos", "_bits"
-    )
+    tests = [_bit_is_set(F.col("_bits"), p) for p in _bit_positions(url_col, m)]
+    all_set = tests[0]
+    for t in tests[1:]:
+        all_set = all_set & t
+    return joined.withColumn(
+        "maybe_seen",
+        F.when(F.col("_bits").isNull(), F.lit(False)).otherwise(all_set),
+    ).drop("_shard", "_bits")
 
 
 def filter_unseen(

@@ -329,3 +329,55 @@ def cosine_dup_pairs_blocked(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components (min-id label)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every node gets
+    ``cluster_id`` = the minimum id reachable through pairs (singletons keep
+    their own id).  This is the step that turns any pair generator above
+    (LSH / Jaccard / cosine) into actual dedup groups with a deterministic
+    survivor per group.
+
+    Plan shape per round: one join (edges ⋈ labels) + one min-aggregate —
+    2 shuffles — and labels converge in O(log diameter) rounds because the
+    min flows BOTH directions each round (edges are symmetrized).  Lineage
+    is cut with localCheckpoint every round so the iterative plan stays flat
+    (Catalyst would otherwise re-analyze an exponentially growing tree);
+    convergence is detected from a per-round changed-count, so the driver
+    runs exactly as many rounds as the graph needs."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.select(F.col("id").alias("src"), "lbl"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.select("id", F.col("lbl").alias("new_lbl"))
+            .join(labels, "id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

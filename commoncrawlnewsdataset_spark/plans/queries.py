@@ -593,6 +593,107 @@ SELECT a, b, jaccard FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+_SPACE32 = 1 << 32
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (the corpus-mix knob):
+    per-language keep rates decided by md5(key) — partition-independent,
+    incremental-safe, and byte-identically reproducible in DuckDB."""
+    from commoncrawlnewsdataset_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, SAMPLE_RATES, "lang", "doc_id", default_rate=SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def _oracle_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{v}' THEN {int(r * _SPACE32)}" for v, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+      CASE lang {cases} ELSE {int(SAMPLE_DEFAULT * _SPACE32)} END
+"""
+
+
+TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf, deterministic term
+    tiebreak) — corpus analytics over the documents table."""
+    from commoncrawlnewsdataset_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=TFIDF_K)
+
+
+ORACLE_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((n + 1) / CAST(df + 1 AS DOUBLE)) + 1), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_K}
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-id label propagation)
+    over the capped MinHash-LSH pair list — the step that turns pair
+    generators into dedup groups.  Oracle: DuckDB recursive CTE computing
+    min reachable id over the identical (mirrored) pair list."""
+    from commoncrawlnewsdataset_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=N_MINHASH, bands=MINHASH_BANDS, k=1,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    out = dup_clusters(docs.select(F.col("doc_id").alias("id")), pairs)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _oracle_dup_clusters() -> str:
+    inner = _oracle_minhash_pairs().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b AS src, a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 def q_doc_source_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 anti-join shape: docs whose source is NOT in the exclusion dim
     (broadcast left_anti; ref 03_extract_text.py:45-46)."""
@@ -1435,6 +1536,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_topk": q_tfidf_topk,
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
         "token_explode_topk": q_token_explode_topk,
@@ -1486,6 +1590,9 @@ def oracle_sqls() -> dict[str, str]:
         "minhash_lsh_pairs": _oracle_minhash_pairs(),
         "simhash": _oracle_simhash(),
         "jaccard_pairs": ORACLE_JACCARD,
+        "dup_clusters": _oracle_dup_clusters(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "tfidf_topk": ORACLE_TFIDF,
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
         "token_explode_topk": ORACLE_TOKEN_EXPLODE,

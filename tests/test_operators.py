@@ -329,3 +329,54 @@ def test_point_in_region_join_polygon_dim(spark):
     assert out["in-l"]["NUTS"] == "DE2L"      # level-3 polygon wins
     assert out["in-notch"]["NUTS"] == "DE"    # notch -> only the country ring
     assert out["outside"]["NUTS"] is None     # left join keeps unmatched
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-id label propagation: chain, triangle, singleton, and convergence
+    in O(log diameter) rounds (a 9-node chain must still converge)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["id"])
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-...-8  +  triangle 9-10-11 (edges given high->low too)
+        [(i, i + 1) for i in range(8)] + [(10, 9), (11, 10), (9, 11)],
+        ["a", "b"],
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(nodes, pairs).collect()}
+    assert all(got[i] == 0 for i in range(9))      # whole chain -> min id 0
+    assert all(got[i] == 9 for i in (9, 10, 11))   # triangle -> min id 9
+    # no singleton row lost, singleton keeps its own id
+    nodes2 = spark.createDataFrame([(7,), (99,)], ["id"])
+    pairs0 = spark.createDataFrame([], "a long, b long")
+    got2 = {r["id"]: r["cluster_id"] for r in dup_clusters(nodes2, pairs0).collect()}
+    assert got2 == {7: 7, 99: 99}
+
+
+def test_hash_sampling_deterministic_and_partition_independent(spark):
+    """The sampling verdict is a pure function of the row key: identical
+    subsets at any partitioning (unlike df.sample), stratified rates land
+    near their targets, unlisted strata use the default rate."""
+    from commoncrawlnewsdataset_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    a = {r["id"] for r in hash_sample(df, 0.3, "id").collect()}
+    b = {r["id"] for r in hash_sample(df.repartition(17), 0.3, "id").collect()}
+    assert a == b                      # partition-independent
+    assert abs(len(a) / 20_000 - 0.3) < 0.02
+
+    out = stratified_hash_sample(
+        df, {"0": 0.8, "1": 0.1}, "grp", "id", default_rate=0.0
+    )
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["0"] / 5_000 - 0.8) < 0.05
+    assert abs(got["1"] / 5_000 - 0.1) < 0.05
+    assert set(got) == {"0", "1"}      # default 0.0 drops strata 2 and 3
+    # incremental safety: the kept set over a prefix equals the prefix of
+    # the kept set (a row's verdict never changes as the corpus grows)
+    small = {r["id"] for r in hash_sample(df.filter("id < 5000"), 0.3, "id").collect()}
+    assert small == {i for i in a if i < 5000}

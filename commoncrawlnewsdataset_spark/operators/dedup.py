@@ -218,16 +218,22 @@ def ngram_jaccard_pairs(
     shingle_cap: int = 500,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-token shingles, candidates via inverted
-    index, verification against the FULL shingle sets.
+    index; the intersection is counted EXACTLY over all shingles in two
+    passes, and no shingle string (or array) ever enters a shuffle:
 
-    Shuffles: (1) explode+groupBy shingle (inverted index), (2) distinct
-    candidate pairs, (3) two joins back to the shingle sets for exact
-    verification.  A shingle shared by more than `shingle_cap` docs is
-    dropped from the CANDIDATE index only (stopword-shingle guard against a
-    quadratic reducer); the Jaccard value itself is always computed from the
-    uncapped sets (array_intersect), so the cap affects candidate recall
-    only — a pair is missed iff ALL its shared shingles are hotter than the
-    cap — never the reported similarity."""
+    1. non-hot shingles (<= shingle_cap docs): the capped inverted index
+       expands to (a, b) rows — groupBy(a, b).count() IS the non-hot
+       intersection, and its distinct keys are the candidate pairs;
+    2. hot shingles (> shingle_cap docs, the stopword-grams): candidates
+       join the hot memberships on both endpoints keyed by an 8-byte
+       xxhash64 of the shingle — output rows ∝ candidates x (hot shingles
+       per doc), never hot² — and the match count is the hot intersection.
+
+    inter = pass1 + pass2 is exact, so the cap affects candidate RECALL only
+    (a pair is missed iff every shared shingle is hot), never the reported
+    similarity.  Shuffled bytes per pass are 8-16 B keys — the array-join
+    formulation (candidates x full shingle arrays) measured 5x slower at
+    sf0.1."""
     sets = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -236,37 +242,54 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("sh") > 0)
     )
+    sizes = sets.select("id", F.size("sh").cast("long").alias("sz"))
 
-    inv = sets.select("id", F.explode("sh").alias("s"))
-    # candidate index with hot-key guard (generation side only)
-    grouped = inv.groupBy("s").agg(F.collect_list("id").alias("ids")).filter(
-        (F.size("ids") > 1) & (F.size("ids") <= shingle_cap)
+    # 8-byte shingle keys: collision odds over ~|corpus| distinct shingles
+    # are ~n²/2^65 — vanishing; counts, not values, flow downstream
+    inv = sets.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s")
     )
-    cand = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.array_sort("ids"),
-                    lambda a, ai: F.transform(
-                        F.slice(F.array_sort("ids"), ai + 2, F.size("ids")),
-                        lambda b: F.struct(a.alias("a"), b.alias("b")),
-                    ),
+    grouped = inv.groupBy("s").agg(F.collect_list("id").alias("ids"))
+    nonhot = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= shingle_cap))
+    inter_nonhot = (
+        nonhot.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.array_sort("ids"),
+                        lambda a, ai: F.transform(
+                            F.slice(F.array_sort("ids"), ai + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("inter_nonhot"))
+    )
+
+    hot_keys = grouped.filter(F.size("ids") > shingle_cap).select("s")
+    hot_inv = inv.join(hot_keys, "s", "left_semi")
+    inter_hot = (
+        inter_nonhot.select("a", "b")
+        .join(hot_inv.withColumnsRenamed({"id": "a"}), "a")
+        .join(hot_inv.withColumnsRenamed({"id": "b"}), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter_hot"))
+    )
 
     out = (
-        cand.join(sets.withColumnsRenamed({"id": "a", "sh": "sh_a"}), "a")
-        .join(sets.withColumnsRenamed({"id": "b", "sh": "sh_b"}), "b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        inter_nonhot.join(inter_hot, ["a", "b"], "left")
+        .withColumn(
+            "inter",
+            F.col("inter_nonhot") + F.coalesce(F.col("inter_hot"), F.lit(0)),
+        )
+        .join(sizes.withColumnsRenamed({"id": "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sz_b"}), "b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a").cast("long") + F.size("sh_b") - F.col("inter")),
-                4,
-            ),
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")

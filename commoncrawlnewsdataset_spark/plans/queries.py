@@ -541,15 +541,15 @@ FROM h
 
 
 JACCARD_THRESHOLD = 0.62
-JACCARD_K = 2  # bigram shingles — the production config, not the easy one
+JACCARD_K = 3  # trigram shingles — the classic near-dup config
 JACCARD_SHINGLE_CAP = 500  # hot-shingle candidate guard (generation side only)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard near-dup pairs: candidates via the capped
-    inverted index (production skew guard), verification exact against the
-    full shingle sets.  The DuckDB oracle mirrors the capped candidate
-    generation, so the green row certifies the scale-safe plan."""
+    """Exact trigram-shingle Jaccard near-dup pairs: candidates via the
+    capped inverted index (production skew guard), intersection counted
+    exactly (non-hot pass + hot pass).  The DuckDB oracle mirrors the capped
+    candidate generation, so the green row certifies the scale-safe plan."""
     from commoncrawlnewsdataset_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -559,10 +559,11 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# bigram shingles in DuckDB: toks[i] || ' ' || toks[i+1] over 1-based indices
-_DUCK_SHINGLES_K2 = (
-    "list_distinct(CASE WHEN len(toks) >= 2 THEN "
-    "list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) "
+# trigram shingles in DuckDB: toks[i..i+2] joined over 1-based indices
+_DUCK_SHINGLES_K3 = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) "
     "ELSE [] END)"
 )
 
@@ -571,7 +572,7 @@ WITH t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
 ), s AS (
-  SELECT doc_id, {_DUCK_SHINGLES_K2} AS sh FROM t
+  SELECT doc_id, {_DUCK_SHINGLES_K3} AS sh FROM t
 ), s2 AS (
   SELECT doc_id, sh FROM s WHERE len(sh) > 0
 ), inv AS (

@@ -622,6 +622,38 @@ WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
 """
 
 
+CHUNK_TOKENS = 512
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pretraining layout): global token
+    prefix sum computed scale-safely (range partition -> local cumsum ->
+    broadcast per-partition offsets; never a single-partition window over
+    the data), chunk spans per document.  The DuckDB oracle is the plain
+    window cumsum — identical values prove the two-phase form exact."""
+    from commoncrawlnewsdataset_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(docs, CHUNK_TOKENS)
+
+
+ORACLE_PACK_CHUNKS = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tok_end
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((tok_end - n_tokens) / {CHUNK_TOKENS}.0) AS BIGINT) ELSE -1 END AS first_chunk,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((tok_end - 1) / {CHUNK_TOKENS}.0) AS BIGINT) ELSE -1 END AS last_chunk
+FROM c
+"""
+
+
 TFIDF_K = 3
 
 
@@ -1540,6 +1572,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
         "tfidf_topk": q_tfidf_topk,
+        "pack_chunks": q_pack_chunks,
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
         "token_explode_topk": q_token_explode_topk,
@@ -1594,6 +1627,7 @@ def oracle_sqls() -> dict[str, str]:
         "dup_clusters": _oracle_dup_clusters(),
         "stratified_sample": _oracle_stratified_sample(),
         "tfidf_topk": ORACLE_TFIDF,
+        "pack_chunks": ORACLE_PACK_CHUNKS,
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
         "token_explode_topk": ORACLE_TOKEN_EXPLODE,

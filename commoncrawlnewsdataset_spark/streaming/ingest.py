@@ -32,6 +32,32 @@ def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int = 4)
     )
 
 
+def stream_warc_pages(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous WARC ingestion: file-source stream of raw .warc/.warc.gz
+    shards -> from-scratch WARC/1.0 parse (response filter + header
+    projection inside the scan stage) -> input_hint pages shape.  New shards
+    dropped into the directory flow through on the next micro-batch — the
+    streaming form of stage 02 (02_extract_newscrawl.py:18-39), minus the
+    destructive delete (the checkpoint tracks processed files instead)."""
+    from commoncrawlnewsdataset_spark.sources.pages import (
+        parse_warc_blobs,
+        warc_records_to_pages,
+    )
+
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path_glob)
+        .select("content")
+    )
+    return warc_records_to_pages(parse_warc_blobs(blobs))
+
+
 def hourly_host_counts(pages_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling window with late-data bound: pages per host-hour."""
     from commoncrawlnewsdataset_spark.functions.urls import host_of

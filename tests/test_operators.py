@@ -380,3 +380,52 @@ def test_hash_sampling_deterministic_and_partition_independent(spark):
     # the kept set (a row's verdict never changes as the corpus grows)
     small = {r["id"] for r in hash_sample(df.filter("id < 5000"), 0.3, "id").collect()}
     assert small == {i for i in a if i < 5000}
+
+
+def test_global_cumsum_scale_safe(spark):
+    """Two-phase global prefix sum: values match the serial cumsum exactly,
+    and the plan range-partitions the data (the big window runs per
+    partition — never a single-partition window over the rows)."""
+    import contextlib
+    import io
+
+    from commoncrawlnewsdataset_spark.operators.packing import global_cumsum, pack_chunks
+
+    df = spark.range(50_000).select(
+        F.col("id"), ((F.col("id") * 2654435761) % 97).alias("v")
+    )
+    out = global_cumsum(df, "id", "v", out_col="c")
+    got = {r["id"]: r["c"] for r in out.collect()}
+    run = 0
+    for i in range(50_000):
+        run += (i * 2654435761) % 97
+        assert got[i] == run, i
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan  # data shuffled by key ranges
+    # the data-sized window is partitioned by _pid (the serial, unpartitioned
+    # window exists only over the per-partition totals — numPartitions rows)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_pid" in s for s in specs), plan
+
+    # chunk spans: contiguous, non-overlapping token intervals
+    docs = spark.createDataFrame(
+        [(i, "w " * (7 * (i % 5) + 1)) for i in range(200)] + [(999, "")],
+        ["doc_id", "text"],
+    )
+    packed = pack_chunks(docs, chunk_tokens=16)
+    rows = sorted(packed.collect(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r in rows:
+        if r["doc_id"] == 999:
+            assert r["n_tokens"] == 0 and r["first_chunk"] == -1
+            continue
+        assert r["tok_start"] == pos and r["tok_end"] == pos + r["n_tokens"]
+        assert r["first_chunk"] == r["tok_start"] // 16
+        assert r["last_chunk"] == (r["tok_end"] - 1) // 16
+        pos = r["tok_end"]

@@ -205,6 +205,64 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming between simhash
+    signatures, via pigeonhole banding: split the signature into
+    (max_hamming+1) bit bands — any pair within distance d differs in at
+    most d bands, so it matches EXACTLY on at least one band (no missed
+    pairs from banding itself).  Candidates come from a band-equality
+    groupBy (deterministic sorted-slice `bucket_cap` skew guard — identical
+    documents collapse to one bucket, which would otherwise go quadratic);
+    verification is the exact bit_count(xor).  Same scale shape as
+    minhash_lsh_pairs: one groupBy shuffle + distinct + a thin verify join
+    on 8-byte signatures."""
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    sigs = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+    band_structs = []
+    for i in range(n_bands):
+        width = w if i < n_bands - 1 else bits - w * (n_bands - 1)
+        bval = F.shiftright(F.col("sig"), i * w).bitwiseAND(F.lit((1 << width) - 1))
+        band_structs.append(F.struct(F.lit(i).alias("band"), bval.alias("bval")))
+    bands = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "bb.band", "bb.bval"
+    )
+    capped = bands.groupBy("band", "bval").agg(
+        F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
+    ).filter(F.size("ids") > 1)
+    cand = capped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, ai: F.transform(
+                        F.slice(F.col("ids"), ai + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return (
+        cand.join(sigs.withColumnsRenamed({"id": "a", "sig": "sig_a"}), "a")
+        .join(sigs.withColumnsRenamed({"id": "b", "sig": "sig_b"}), "b")
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

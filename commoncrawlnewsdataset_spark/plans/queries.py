@@ -519,24 +519,74 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text"), SIMHASH_BITS).alias("simhash"))
 
 
-def _oracle_simhash() -> str:
-    bit_terms = " + ".join(
+def _duck_simhash_terms() -> str:
+    return " + ".join(
         f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)), (a, x) -> a + x) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
-    return f"""
+
+
+_DUCK_SIMHASH_CTE = r"""
 WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
   FROM documents
-), h AS (
+), th AS (
   SELECT doc_id, toks,
          list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS th
   FROM t
+)"""
+
+
+def _oracle_simhash() -> str:
+    return f"""
+{_DUCK_SIMHASH_CTE}
+SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE {_duck_simhash_terms()} END AS simhash
+FROM th
+"""
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BUCKET_CAP = 200
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= d via pigeonhole banding (d+1
+    bands; a pair within distance d matches exactly on >= 1 band), capped
+    buckets (sorted-slice, mirrored in the oracle), exact bit_count(xor)
+    verification."""
+    from commoncrawlnewsdataset_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING, bucket_cap=SIMHASH_BUCKET_CAP,
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    n_bands = SIMHASH_MAX_HAMMING + 1
+    w = SIMHASH_BITS // n_bands
+    mask = (1 << w) - 1
+    return f"""
+{_DUCK_SIMHASH_CTE}, h AS (
+  SELECT doc_id, {_duck_simhash_terms()} AS simhash FROM th WHERE len(toks) > 0
+), bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * {w})) & {mask} AS bval
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) bb
+), capped AS (
+  SELECT band, bval, list_slice(list_sort(list(doc_id)), 1, {SIMHASH_BUCKET_CAP}) AS ids
+  FROM bands GROUP BY band, bval HAVING count(*) > 1
+), e AS (
+  SELECT band, bval, unnest(ids) AS id FROM capped
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM e x JOIN e y USING (band, bval) WHERE x.id < y.id
 )
-SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE {bit_terms} END AS simhash
-FROM h
+SELECT a, b, CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
+FROM cand JOIN h ha ON cand.a = ha.doc_id JOIN h hb ON cand.b = hb.doc_id
+WHERE bit_count(xor(ha.simhash, hb.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -1568,6 +1618,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
@@ -1623,6 +1674,7 @@ def oracle_sqls() -> dict[str, str]:
         "minhash_signatures": _oracle_minhash_sigs(),
         "minhash_lsh_pairs": _oracle_minhash_pairs(),
         "simhash": _oracle_simhash(),
+        "simhash_pairs": _oracle_simhash_pairs(),
         "jaccard_pairs": ORACLE_JACCARD,
         "dup_clusters": _oracle_dup_clusters(),
         "stratified_sample": _oracle_stratified_sample(),

@@ -429,3 +429,33 @@ def test_global_cumsum_scale_safe(spark):
         assert r["first_chunk"] == r["tok_start"] // 16
         assert r["last_chunk"] == (r["tok_end"] - 1) // 16
         pos = r["tok_end"]
+
+
+def test_simhash_hamming_pairs_pigeonhole(spark):
+    """Banding never misses a pair within max_hamming (pigeonhole), and the
+    exact verify drops anything beyond it."""
+    from commoncrawlnewsdataset_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # identical -> d=0
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),    # near
+        (4, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", simhash(F.col("text"), 16).alias("s")).collect()}
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           simhash_hamming_pairs(df, "doc_id", "text", bits=16, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
+    # every returned pair honors the exact bound; every within-bound pair is found
+    import itertools
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = bin(sigs[a] ^ sigs[b]).count("1")
+        if d <= 3:
+            assert (a, b) in got and got[(a, b)] == d, (a, b, d)
+        else:
+            assert (a, b) not in got, (a, b, d)

@@ -102,6 +102,21 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_read(spark, index_dir, qv, cents, k=20, n_probe=2)
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (scale path #3; ADC over m-byte codes, recall
+    < 1 by design so no SQL oracle): train per-subspace codebooks (one
+    exploded groupBy per Lloyd iteration), encode JVM-side, score via the
+    query's literal lookup tables."""
+    from commoncrawlnewsdataset_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, n_iter=2, dim=64)
+    codes = pq_encode(emb, books)
+    row = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in row["embedding"]]
+    return pq_topk(codes, qv, books, k=20)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -163,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_metrics_udf": q_quality_metrics_udf,
             "lsh_ann_topk": q_lsh_ann_topk,
             "ivf_ann_topk": q_ivf_ann_topk,
+            "pq_ann_topk": q_pq_ann_topk,
             "media_features": q_media_features,
             "ner_gazetteer": q_ner_gazetteer,
         }

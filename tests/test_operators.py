@@ -459,3 +459,31 @@ def test_simhash_hamming_pairs_pigeonhole(spark):
             assert (a, b) in got and got[(a, b)] == d, (a, b, d)
         else:
             assert (a, b) not in got, (a, b, d)
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ codebooks: codes are valid, near-identical vectors share codes, and
+    ADC top-k overlaps the exact cosine top-k on clustered data."""
+    from commoncrawlnewsdataset_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16)) * 3
+    vecs = np.vstack([centers[i % 4] + rng.normal(size=16) * 0.3 for i in range(200)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    books = pq_train(df, m=4, k=8, n_iter=2)
+    assert len(books) == 4 and all(len(b) == 8 and len(b[0]) == 4 for b in books)
+    codes = pq_encode(df, books)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in got.values())
+    # same-cluster vectors compress to mostly-identical codes
+    same = sum(got[0][j] == got[4][j] for j in range(4))   # ids 0,4 share a center
+    diff = sum(got[0][j] == got[1][j] for j in range(4))   # ids 0,1 do not
+    assert same >= diff
+
+    q = [float(x) for x in vecs[7]]
+    ann = [r["vec_id"] for r in pq_topk(codes, q, books, k=10).collect()]
+    sims = vecs @ vecs[7] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
+    exact50 = set(np.argsort(-sims)[:50].tolist())
+    assert len(set(ann) & exact50) >= 8  # >=80% of ADC hits are true near-neighbors

@@ -704,6 +704,72 @@ FROM c
 """
 
 
+CORPUS_SAMPLE_RATE = 0.5
+CORPUS_CHUNK = 256
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build as ONE lazy plan: SQL quality gate (F4
+    band semantics) -> exact dedup (min-id survivor per content fingerprint)
+    -> deterministic hash sample -> concat-and-chunk packing.  Every stage is
+    individually oracle-checked elsewhere; this row certifies their
+    COMPOSITION end-to-end (filters prune before dedup shuffles, dedup prunes
+    before the prefix sum, all in one Catalyst plan)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import drop_exact_dups
+    from commoncrawlnewsdataset_spark.operators.packing import pack_chunks
+    from commoncrawlnewsdataset_spark.operators.sampling import hash_sample
+
+    stats = q_text_stats(spark, sf_dir)
+    good = stats.filter(
+        (F.col("javascript_count") == 0)
+        & (F.col("words_per_line") > 5)
+        & F.col("mean_word_length").between(3, 12)
+        & F.col("word_count").between(50, 10000)
+    ).select("doc_id")
+    docs = _t(spark, sf_dir, "documents").join(good, "doc_id", "left_semi")
+    deduped = drop_exact_dups(docs, "doc_id", "text")
+    sampled = hash_sample(deduped, CORPUS_SAMPLE_RATE, "doc_id")
+    return pack_chunks(sampled, CORPUS_CHUNK)
+
+
+def _oracle_corpus_pipeline() -> str:
+    return f"""
+WITH stats AS ({ORACLE_TEXT_STATS}),
+good AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN stats s USING (doc_id)
+  WHERE s.javascript_count = 0 AND s.words_per_line > 5
+    AND s.mean_word_length BETWEEN 3 AND 12
+    AND s.word_count BETWEEN 50 AND 10000
+), fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM good
+), surv AS (
+  SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f
+), ded AS (
+  SELECT fp.doc_id, fp.text FROM fp JOIN surv
+    ON fp.doc_id = surv.doc_id AND fp.f = surv.f
+), samp AS (
+  SELECT doc_id, text FROM ded
+  WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        < {int(CORPUS_SAMPLE_RATE * _SPACE32)}
+), n AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM samp
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tok_end
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((tok_end - n_tokens) / {CORPUS_CHUNK}.0) AS BIGINT) ELSE -1 END AS first_chunk,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((tok_end - 1) / {CORPUS_CHUNK}.0) AS BIGINT) ELSE -1 END AS last_chunk
+FROM c
+"""
+
+
 TFIDF_K = 3
 
 
@@ -1624,6 +1690,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "tfidf_topk": q_tfidf_topk,
         "pack_chunks": q_pack_chunks,
+        "corpus_pipeline": q_corpus_pipeline,
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
         "token_explode_topk": q_token_explode_topk,
@@ -1680,6 +1747,7 @@ def oracle_sqls() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "tfidf_topk": ORACLE_TFIDF,
         "pack_chunks": ORACLE_PACK_CHUNKS,
+        "corpus_pipeline": _oracle_corpus_pipeline(),
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
         "token_explode_topk": ORACLE_TOKEN_EXPLODE,

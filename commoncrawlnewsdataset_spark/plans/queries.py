@@ -1550,6 +1550,76 @@ def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule's core contract — 'reproducing the reference's crawl
+    ordering ... exactly': run two REAL waves (same md5-deterministic config
+    as frontier_waves) and emit every ATTEMPTED url with its (wave, host,
+    rank) under the deterministic order contract (priority DESC,
+    discovered_ts, url).  The oracle replays both politeness selections in
+    SQL, so a green row certifies the total crawl order itself, not just the
+    final fetched set."""
+    import tempfile
+
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+
+    seeds = _seed_frontier(spark, sf_dir).select(
+        "url",
+        "priority",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="crawl-order-")
+    runner = WaveRunner(
+        spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
+        use_robots=False, fetcher=md5_fetch, detailed_metrics=False,
+    )
+    runner.load_seeds(seeds)
+    runner.run_wave()
+    runner.run_wave()
+    attempted = runner.state().filter(F.col("status").isin("fetched", "failed"))
+    w = Window.partitionBy("wave", "host").orderBy(
+        F.desc("priority"), F.asc("discovered_ts"), F.asc("url")
+    )
+    return attempted.select(
+        F.col("wave").cast("long").alias("wave"),
+        "host",
+        "url",
+        "status",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def _oracle_crawl_order() -> str:
+    return f"""
+WITH seeds AS (
+  SELECT {_URL_DUCK} AS url,
+         concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+         round(o_totalprice, 4) AS priority
+  FROM orders
+), r1 AS (
+  SELECT url, host, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn
+  FROM seeds
+), w1 AS (
+  SELECT url, host, rn,
+         CASE WHEN ('0x' || substr(md5(url), 1, 8))::BIGINT % 13 = 0
+              THEN 'failed' ELSE 'fetched' END AS status
+  FROM r1 WHERE rn <= {WAVE_BUDGET}
+), r2 AS (
+  SELECT url, host, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn
+  FROM r1 WHERE rn > {WAVE_BUDGET}
+), w2 AS (
+  SELECT url, host, rn,
+         CASE WHEN ('0x' || substr(md5(url), 1, 8))::BIGINT % 13 = 0
+              THEN 'failed' ELSE 'fetched' END AS status
+  FROM r2 WHERE rn <= {WAVE_BUDGET}
+)
+SELECT CAST(1 AS BIGINT) AS wave, host, url, status, CAST(rn AS BIGINT) AS rank FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS wave, host, url, status, CAST(rn AS BIGINT) AS rank FROM w2
+"""
+
+
 _DUCK_FETCH = (
     "CASE WHEN h % 13 = 0 THEN 'failed' ELSE 'fetched' END AS status, "
     "CASE WHEN h % 13 = 0 THEN 5 WHEN h % 7 = 0 THEN 2 ELSE 1 END AS attempts"
@@ -1715,6 +1785,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_seen_antijoin": q_url_seen_antijoin,
         "robots_gating": q_robots_gating,
         "frontier_waves": q_frontier_waves,
+        "crawl_order": q_crawl_order,
         # ingestion
         "warc_scan": q_warc_scan,
     }
@@ -1770,5 +1841,6 @@ def oracle_sqls() -> dict[str, str]:
         "url_seen_antijoin": ORACLE_URL_SEEN,
         "robots_gating": ORACLE_ROBOTS,
         "frontier_waves": ORACLE_FRONTIER_WAVES,
+        "crawl_order": _oracle_crawl_order(),
         "warc_scan": ORACLE_WARC_SCAN,
     }

@@ -487,3 +487,37 @@ def test_pq_roundtrip_and_recall(spark):
     sims = vecs @ vecs[7] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
     exact50 = set(np.argsort(-sims)[:50].tolist())
     assert len(set(ann) & exact50) >= 8  # >=80% of ADC hits are true near-neighbors
+
+
+def test_geojson_source_feeds_polygon_join(spark, tmp_path):
+    """S11 without geo libs: GeoJSON FeatureCollection (Polygon +
+    MultiPolygon) parsed via from_json into ring columns, then the
+    ray-casting join — notch semantics identical to the hand-built dim."""
+    from commoncrawlnewsdataset_spark.sources.geojson import read_geojson_regions
+    from commoncrawlnewsdataset_spark.operators.spatial import point_in_region_join
+
+    js = (
+        '{"type":"FeatureCollection","features":['
+        '{"properties":{"NUTS_ID":"DE2L","NUTS_NAME":"Lshape","LEVL_CODE":3},'
+        '"geometry":{"type":"Polygon","coordinates":'
+        '[[[0.0,0.0],[4.0,0.0],[4.0,2.0],[2.0,2.0],[2.0,4.0],[0.0,4.0],[0.0,0.0]]]}},'
+        '{"properties":{"NUTS_ID":"DE","NUTS_NAME":"Germany","LEVL_CODE":0},'
+        '"geometry":{"type":"MultiPolygon","coordinates":'
+        '[[[[-1.0,-1.0],[6.0,-1.0],[6.0,6.0],[-1.0,6.0],[-1.0,-1.0]]]]}}]}'
+    )
+    p = tmp_path / "regions.geojson"
+    p.write_text(js)
+    regions = read_geojson_regions(spark, str(p))
+    rows = {r["NUTS_ID"]: r for r in regions.collect()}
+    assert set(rows) == {"DE2L", "DE"}
+    assert rows["DE2L"]["ring_x"][:3] == [0.0, 4.0, 4.0]
+    assert rows["DE"]["LEVL_CODE"] == 0
+
+    pts = spark.createDataFrame(
+        [("in-l", 1.0, 1.0), ("in-notch", 3.0, 3.0), ("outside", 10.0, 10.0)],
+        ["loc_normal", "longitude", "latitude"],
+    )
+    out = {r["loc_normal"]: r for r in point_in_region_join(pts, regions).collect()}
+    assert out["in-l"]["NUTS"] == "DE2L"
+    assert out["in-notch"]["NUTS"] == "DE"
+    assert out["outside"]["NUTS"] is None

@@ -89,6 +89,18 @@ def _embed(args) -> None:
     print(f"wrote {args.out}")
 
 
+def _bench(args) -> None:
+    from commoncrawlnewsdataset_spark.benchlib import frontier_wave_bench
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("ccnews-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = frontier_wave_bench(
+        spark, n_urls=args.n_urls, fetch_work_us=args.fetch_work_us
+    )
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="ccnews-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +129,11 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--out", required=True)
     e.add_argument("--dim", type=int, default=64)
     e.set_defaults(fn=_embed)
+
+    b = sub.add_parser("bench")
+    b.add_argument("--n-urls", type=int, default=400_000)
+    b.add_argument("--fetch-work-us", type=float, default=100.0)
+    b.set_defaults(fn=_bench)
 
     args = p.parse_args(argv)
     args.fn(args)

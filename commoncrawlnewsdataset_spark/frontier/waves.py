@@ -351,6 +351,28 @@ class WaveRunner:
             f.write(str(upto))
         return upto
 
+    def expire_snapshots(self, keep_waves_after: int | None = None) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: drop raw wave deltas at or
+        below the newest checkpoint (default) or below ``keep_waves_after``,
+        provided a committed checkpoint at/above that wave covers them.
+        Time travel remains valid for every wave above the expiration
+        horizon; manifests are KEPT (lineage metrics survive expiration).
+        Returns the expired wave numbers."""
+        import shutil
+
+        ckpts = self.committed_checkpoints()
+        if not ckpts:
+            return []
+        horizon = ckpts[-1] if keep_waves_after is None else min(keep_waves_after, ckpts[-1])
+        expired = []
+        for w in self.committed_waves():
+            if w <= horizon:
+                delta = os.path.join(self._wave_dir(w), "delta.parquet")
+                if os.path.isdir(delta):
+                    shutil.rmtree(delta)
+                    expired.append(w)
+        return expired
+
     # ---- seed load (wave 0) ----------------------------------------------
 
     def load_seeds(self, seeds: DataFrame) -> None:

@@ -454,3 +454,31 @@ def test_page_sink_feeds_extraction_spine(spark, tmp_path):
     # delta/metrics were derived from the sink re-read: failed urls have no page
     failed = runner.state().filter(F.col("status") == "failed").count()
     assert n_pages + failed == m["n_selected"]
+
+
+def test_expire_snapshots_keeps_state_and_lineage(spark, tmp_path):
+    """Iceberg expire_snapshots analog: raw deltas covered by a checkpoint
+    can be dropped — resolved state unchanged, manifests (lineage) kept,
+    time travel valid above the horizon."""
+    runner = WaveRunner(spark, str(tmp_path / "ex"), per_host_budget=4, nsalt=2, use_robots=False)
+    runner.load_seeds(_seeds_df(spark, 60, seed=5))
+    runner.run_wave(); runner.run_wave()
+    runner.compact()          # checkpoint at wave 2
+    runner.run_wave()         # wave 3 delta stays raw
+
+    before = sorted((r["url"], r["status"], r["wave"])
+                    for r in runner.state().select("url", "status", "wave").collect())
+    expired = runner.expire_snapshots()
+    assert expired == [0, 1, 2]
+    after = sorted((r["url"], r["status"], r["wave"])
+                   for r in runner.state().select("url", "status", "wave").collect())
+    assert before == after
+    # lineage manifests survive expiration
+    assert runner.read_manifest(1)["n_selected"] > 0
+    # time travel above the horizon still resolves (checkpoint + wave 3)
+    assert runner.state(upto_wave=3).count() == len(after)
+    # resume on the expired log keeps working
+    resumed = WaveRunner(spark, str(tmp_path / "ex"), per_host_budget=4, nsalt=2, use_robots=False)
+    assert resumed.last_wave() == 3
+    resumed.run_wave()
+    assert resumed.state().groupBy("url").count().filter("count > 1").count() == 0

@@ -83,3 +83,44 @@ def test_spark_metrics_property_batch(spark, ref_quality):
         expected = ref_quality.compute_metrics(r["text"])
         for c in METRIC_COLS:
             assert r[c] == expected[c], (c, repr(r["text"]))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=40),
+            st.binary(max_size=500),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_property(records, gz):
+    """Any payload bytes (including CRLFs, fake record headers, gzip magic)
+    survive a write->parse round trip byte-identically; non-response records
+    never surface as responses."""
+    from commoncrawlnewsdataset_spark.sources.warc import (
+        build_request_record,
+        build_response_record,
+        iter_warc_records,
+    )
+
+    date = "2024-01-01T00:00:00Z"
+    blob = b""
+    expected = []
+    for i, (path, body, is_response) in enumerate(records):
+        url = f"https://prop.example/{path}/{i}"
+        if is_response:
+            blob += build_response_record(url, date, f"<urn:uuid:{i}>", body, gzip_member=gz)
+            expected.append((url, body))
+        else:
+            blob += build_request_record(url, date, f"<urn:uuid:r{i}>", gzip_member=gz)
+    got = [
+        (r.header("WARC-Target-URI"), r.content)
+        for r in iter_warc_records(blob)
+        if r.rec_type == "response"
+    ]
+    assert got == expected

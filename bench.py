@@ -72,7 +72,7 @@ def main() -> None:
     # UDF-heavy stages (not in the oracle registry)
     import __spark_entry__ as entry_mod
 
-    for name in ["quality_metrics_udf", "minhash_lsh_capped"]:
+    for name in ["quality_metrics_udf", "minhash_lsh_capped", "minhash_lsh_xxhash"]:
         t0 = time.time()
         if name == "quality_metrics_udf":
             entry_mod.q_quality_metrics_udf(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -81,10 +81,12 @@ def main() -> None:
 
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             # k=3 shingles + tight cap: production-shaped parameters (the
-            # synthetic 40-word vocab makes k<=2 shingles degenerate-hot)
-            minhash_lsh_pairs(docs, "doc_id", "text", 8, 4, k=3, bucket_cap=64).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            # synthetic 40-word vocab makes k<=2 shingles degenerate-hot);
+            # xxhash variant = the native-64-bit production hash family
+            hasher = "xxhash64" if name.endswith("xxhash") else "md5"
+            minhash_lsh_pairs(
+                docs, "doc_id", "text", 8, 4, k=3, bucket_cap=64, hasher=hasher
+            ).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     # headline: one full frontier crawl wave

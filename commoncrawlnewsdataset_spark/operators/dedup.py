@@ -107,11 +107,18 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     bucket_cap: int = 200,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band bucket.
 
     Plan shape: one shuffle to group by (band, bucket), per-bucket pair
     expansion bounded by `bucket_cap` (skew guard), distinct pairs out.
+
+    ``hasher``: "md5" is the cross-engine (DuckDB-oracle) contract;
+    "xxhash64" is the production fast path — native 64-bit hashing instead
+    of hex md5 strings (~2x less CPU, 8-byte mins instead of 32-char hex).
+    Candidate semantics are identical (min of a uniform hash per seed);
+    only the hash family differs.
     """
     rows_per_band = n_hashes // bands
     # Explode band ids FIRST, then compute only that band's minhashes with a
@@ -131,19 +138,27 @@ def minhash_lsh_pairs(
         "id", "sh", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     )
 
-    def _min_for(r: int):
-        seed = (F.col("band") * rows_per_band + F.lit(r)).cast("string")
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(seed, F.lit(":"), s)))
-        )
+    if hasher == "md5":
+        def _min_for(r: int):
+            seed = (F.col("band") * rows_per_band + F.lit(r)).cast("string")
+            return F.array_min(
+                F.transform(F.col("sh"), lambda s: F.md5(F.concat(seed, F.lit(":"), s)))
+            )
 
-    banded = with_band.select(
-        "id",
-        "band",
-        F.md5(F.concat_ws("|", *[_min_for(r) for r in range(rows_per_band)])).alias(
-            "bucket"
-        ),
-    )
+        bucket = F.md5(
+            F.concat_ws("|", *[_min_for(r) for r in range(rows_per_band)])
+        )
+    else:  # xxhash64 fast path
+        def _min_for(r: int):
+            seed = F.col("band") * rows_per_band + F.lit(r)
+            return F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(seed, s))
+            )
+
+        bucket = F.xxhash64(*[_min_for(r) for r in range(rows_per_band)]).cast(
+            "string"
+        )
+    banded = with_band.select("id", "band", bucket.alias("bucket"))
 
     capped = banded.groupBy("band", "bucket").agg(
         F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")

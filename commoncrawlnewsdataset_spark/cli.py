@@ -89,6 +89,34 @@ def _embed(args) -> None:
     print(f"wrote {args.out}")
 
 
+def _progress(args) -> None:
+    """check_progress.sh analog: per-wave crawl progress from the committed
+    manifests (lineage survives even after expire_snapshots) — no Spark
+    session needed."""
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+
+    runner = WaveRunner(None, args.state)
+    waves = runner.committed_waves()
+    total = {"selected": 0, "fetched": 0, "failed": 0, "discovered": 0}
+    for w in waves:
+        m = runner.read_manifest(w)
+        row = {
+            "wave": w,
+            "n_selected": m.get("n_selected", 0),
+            "n_fetched": m.get("n_fetched", 0),
+            "n_failed": m.get("n_failed", 0),
+            "n_discovered": m.get("n_discovered", 0),
+            "urls_per_sec": m.get("urls_per_sec"),
+            "done": m.get("done", False),
+        }
+        total["selected"] += row["n_selected"] or 0
+        total["fetched"] += row["n_fetched"] or 0
+        total["failed"] += row["n_failed"] or 0
+        total["discovered"] += row["n_discovered"] or 0
+        print(json.dumps(row))
+    print(json.dumps({"waves": len(waves), "checkpoints": runner.committed_checkpoints(), **total}))
+
+
 def _bench(args) -> None:
     from commoncrawlnewsdataset_spark.benchlib import frontier_wave_bench
     from commoncrawlnewsdataset_spark.session import get_spark
@@ -129,6 +157,10 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--out", required=True)
     e.add_argument("--dim", type=int, default=64)
     e.set_defaults(fn=_embed)
+
+    pr = sub.add_parser("progress")
+    pr.add_argument("--state", required=True)
+    pr.set_defaults(fn=_progress)
 
     b = sub.add_parser("bench")
     b.add_argument("--n-urls", type=int, default=400_000)

@@ -704,6 +704,42 @@ FROM c
 """
 
 
+PER_MONTH_N = 2
+
+
+def q_sample_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """download_two_per_month.sh semantics, made deterministic: a fixed-count
+    'random' sample per month stratum — rank rows within each month by
+    md5(key) (a seeded uniform draw that is reproducible across engines and
+    runs, unlike the script's $RANDOM) and keep the first N."""
+    from commoncrawlnewsdataset_spark.operators.sampling import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    w = Window.partitionBy("month").orderBy(
+        hash_bucket(F.col("o_orderkey")), F.col("o_orderkey")
+    )
+    return (
+        orders.select(month, "o_orderkey")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= PER_MONTH_N)
+        .select("month", "o_orderkey", "rk")
+    )
+
+
+ORACLE_SAMPLE_PER_MONTH = f"""
+SELECT month, o_orderkey, rk FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
+         row_number() OVER (
+           PARTITION BY strftime(o_orderdate, '%Y-%m')
+           ORDER BY ('0x' || substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT,
+                    o_orderkey
+         ) AS rk
+  FROM orders
+) WHERE rk <= {PER_MONTH_N}
+"""
+
+
 CORPUS_SAMPLE_RATE = 0.5
 CORPUS_CHUNK = 256
 
@@ -1758,6 +1794,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
+        "sample_per_month": q_sample_per_month,
         "tfidf_topk": q_tfidf_topk,
         "pack_chunks": q_pack_chunks,
         "corpus_pipeline": q_corpus_pipeline,
@@ -1816,6 +1853,7 @@ def oracle_sqls() -> dict[str, str]:
         "jaccard_pairs": ORACLE_JACCARD,
         "dup_clusters": _oracle_dup_clusters(),
         "stratified_sample": _oracle_stratified_sample(),
+        "sample_per_month": ORACLE_SAMPLE_PER_MONTH,
         "tfidf_topk": ORACLE_TFIDF,
         "pack_chunks": ORACLE_PACK_CHUNKS,
         "corpus_pipeline": _oracle_corpus_pipeline(),

@@ -14,11 +14,18 @@ from pyspark.sql import functions as F
 
 
 def parse_robots_txt(host: str, body: str, agent: str = "*") -> list[dict]:
-    """Minimal robots.txt parser -> rule rows for the dimension table.
-    Only Disallow/Allow/Crawl-delay of the matching agent group."""
-    rules: list[dict] = []
-    active = False
-    delay = None
+    """robots.txt parser (RFC 9309 group semantics) -> rule rows for the
+    dimension table.
+
+    - consecutive User-agent lines share one group;
+    - a group matching the SPECIFIC agent overrides the ``*`` group (groups
+      are not merged — the RFC picks the most specific matching group);
+    - Allow/Disallow/Crawl-delay collected per group; precedence between
+      overlapping Allow/Disallow prefixes is resolved at gate time by
+      longest-match (gate_by_robots)."""
+    groups: list[dict] = []  # {agents: set, rules: [(prefix, allowed)], delay}
+    cur: dict | None = None
+    in_agent_run = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -26,43 +33,98 @@ def parse_robots_txt(host: str, body: str, agent: str = "*") -> list[dict]:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            active = val == agent or val == "*"
-        elif active and key in ("disallow", "allow") and val:
-            rules.append(
-                {"host": host, "path_prefix": val, "allowed": key == "allow",
-                 "crawl_delay_s": None}
-            )
-        elif active and key == "crawl-delay":
+            if not in_agent_run:
+                cur = {"agents": set(), "rules": [], "delay": None}
+                groups.append(cur)
+            cur["agents"].add(val.lower())
+            in_agent_run = True
+            continue
+        in_agent_run = False
+        if cur is None:
+            continue
+        if key in ("disallow", "allow") and val:
+            cur["rules"].append((val, key == "allow"))
+        elif key == "crawl-delay":
             try:
-                delay = float(val)
+                cur["delay"] = float(val)
             except ValueError:
                 pass
-    if delay is not None:
-        for r in rules:
-            r["crawl_delay_s"] = delay
-        if not rules:
-            rules.append({"host": host, "path_prefix": "", "allowed": True,
-                          "crawl_delay_s": delay})
+
+    chosen = None
+    if agent != "*":
+        for g in groups:
+            if agent.lower() in g["agents"]:
+                chosen = g
+                break
+    if chosen is None:
+        for g in groups:
+            if "*" in g["agents"]:
+                chosen = g
+                break
+    if chosen is None:
+        return []
+    rules = [
+        {"host": host, "path_prefix": p, "allowed": a,
+         "crawl_delay_s": chosen["delay"]}
+        for p, a in chosen["rules"]
+    ]
+    if not rules and chosen["delay"] is not None:
+        rules.append({"host": host, "path_prefix": "", "allowed": True,
+                      "crawl_delay_s": chosen["delay"]})
     return rules
 
 
 def gate_by_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
-    """Drop URLs whose path matches a disallow prefix for their host.
-    Broadcast anti-join: the rules dim is per-host-tiny by construction."""
-    disallow = rules.filter(~F.col("allowed")).select(
-        F.col("host").alias("_r_host"), F.col("path_prefix").alias("_r_prefix")
-    )
+    """Drop URLs whose robots verdict is Disallow, by RFC 9309 longest-match
+    precedence: among all Allow/Disallow prefixes matching a url's path, the
+    LONGEST wins (ties -> Allow); no match -> allowed.
+
+    Fast path (no Allow prefixes — the overwhelmingly common case): a single
+    broadcast prefix anti-join, zero shuffles.  With Allow rules present the
+    verdict needs a per-url argmax over its matching rules: an inner
+    broadcast join (output bounded by rules-per-host) + one window keyed on
+    the url."""
+    from pyspark.sql import Window
+
     path = F.regexp_replace(F.col("url"), r"^[a-zA-Z]+://[^/]+", "")
-    return (
-        frontier.withColumn("_path", path)
-        .join(
-            F.broadcast(disallow),
-            (F.col("host") == F.col("_r_host"))
-            & F.col("_path").startswith(F.col("_r_prefix")),
-            "left_anti",
+    has_allow = (
+        rules.filter(F.col("allowed") & (F.col("path_prefix") != "")).limit(1).count()
+        > 0
+    )  # tiny dim — one cheap job
+    if not has_allow:
+        disallow = rules.filter(~F.col("allowed")).select(
+            F.col("host").alias("_r_host"), F.col("path_prefix").alias("_r_prefix")
         )
-        .drop("_path")
+        return (
+            frontier.withColumn("_path", path)
+            .join(
+                F.broadcast(disallow),
+                (F.col("host") == F.col("_r_host"))
+                & F.col("_path").startswith(F.col("_r_prefix")),
+                "left_anti",
+            )
+            .drop("_path")
+        )
+    dim = rules.filter(F.col("path_prefix") != "").select(
+        F.col("host").alias("_r_host"),
+        F.col("path_prefix").alias("_r_prefix"),
+        F.col("allowed").alias("_r_allowed"),
     )
+    matches = frontier.select("url", "host").withColumn("_path", path).join(
+        F.broadcast(dim),
+        (F.col("host") == F.col("_r_host"))
+        & F.col("_path").startswith(F.col("_r_prefix")),
+        "inner",
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("_r_prefix").desc(), F.col("_r_allowed").desc()
+    )
+    dropped = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("_r_allowed"))
+        .select("url")
+    )
+    return frontier.join(dropped, "url", "left_anti")
 
 
 def host_crawl_delays(rules: DataFrame) -> DataFrame:

@@ -482,3 +482,37 @@ def test_expire_snapshots_keeps_state_and_lineage(spark, tmp_path):
     assert resumed.last_wave() == 3
     resumed.run_wave()
     assert resumed.state().groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_robots_rfc_group_and_longest_match(spark):
+    """RFC 9309 semantics: the specific-agent group OVERRIDES '*' (no merge),
+    consecutive User-agent lines share a group, and Allow/Disallow conflicts
+    resolve by longest matching prefix (ties -> Allow)."""
+    body = (
+        "User-agent: otherbot\nDisallow: /\n\n"
+        "User-agent: ccbot\nUser-agent: newsbot\n"
+        "Disallow: /private/\nAllow: /private/press/\nCrawl-delay: 2\n\n"
+        "User-agent: *\nDisallow: /everything/\n"
+    )
+    # specific group picked over *
+    rules_rows = parse_robots_txt("h.example", body, agent="ccbot")
+    prefixes = {(r["path_prefix"], r["allowed"]) for r in rules_rows}
+    assert prefixes == {("/private/", False), ("/private/press/", True)}
+    assert all(r["crawl_delay_s"] == 2.0 for r in rules_rows)
+    # shared group via consecutive User-agent lines
+    assert {(r["path_prefix"], r["allowed"]) for r in parse_robots_txt(
+        "h.example", body, agent="newsbot")} == prefixes
+    # unknown agent falls back to *
+    assert {(r["path_prefix"], r["allowed"]) for r in parse_robots_txt(
+        "h.example", body, agent="nobody")} == {("/everything/", False)}
+
+    # longest-match gating: /private/press/x allowed, /private/x dropped
+    rules = spark.createDataFrame(rules_rows)
+    seeds = with_frontier_keys(spark.createDataFrame(
+        [(f"https://h.example{p}",) for p in
+         ("/private/a", "/private/press/a", "/public/a")], ["url"]))
+    got = sorted(r["url"] for r in gate_by_robots(seeds, rules).collect())
+    assert got == [
+        "https://h.example/private/press/a",
+        "https://h.example/public/a",
+    ]

@@ -124,3 +124,38 @@ def test_warc_roundtrip_property(records, gz):
         if r.rec_type == "response"
     ]
     assert got == expected
+
+
+def test_canonicalize_url_idempotent_batch(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for a fuzzed batch of
+    url shapes — required for the URL-seen key to stay stable when discovered
+    urls re-enter the frontier already canonicalized."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from commoncrawlnewsdataset_spark.functions.urls import canonicalize_url
+
+    rng = random.Random(17)
+    chars = "abcXYZ09._~%-/"
+    urls = []
+    for i in range(300):
+        scheme = rng.choice(["http", "https", "HTTP", "Https", "ftp"])
+        host = "".join(rng.choice("abcXYZ09.-") for _ in range(rng.randint(1, 15))).strip(".") or "h"
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = "".join(rng.choice(chars) for _ in range(rng.randint(0, 25)))
+        frag = rng.choice(["", "#frag", "#a#b"])
+        urls.append(f"{scheme}://{host}{port}/{path}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select("url", canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select("url", "c1", canonicalize_url(F.col("c1")).alias("c2"))
+    rows = twice.collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        assert "#" not in r["c1"]
+        netloc = r["c1"].split("/")[2] if "://" in r["c1"] else ""
+        scheme = r["url"].split(":")[0].lower()
+        if r["url"].split("#")[0].split("/")[2].endswith(":8080"):
+            assert netloc.endswith(":8080"), r
+        if scheme == "http" and ":80" in r["url"].split("#")[0].split("/")[2]:
+            assert not netloc.endswith(":80"), r

@@ -704,6 +704,28 @@ FROM c
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (corpus profiling: p50/p90/p99
+    of n_chars) — Spark's exact `percentile` and DuckDB's quantile_cont both
+    linearly interpolate, so the values mirror bit-for-bit at 4 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+ORACLE_LENGTH_QUANTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 PER_MONTH_N = 2
 
 
@@ -1795,6 +1817,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
         "sample_per_month": q_sample_per_month,
+        "length_quantiles": q_length_quantiles,
         "tfidf_topk": q_tfidf_topk,
         "pack_chunks": q_pack_chunks,
         "corpus_pipeline": q_corpus_pipeline,
@@ -1854,6 +1877,7 @@ def oracle_sqls() -> dict[str, str]:
         "dup_clusters": _oracle_dup_clusters(),
         "stratified_sample": _oracle_stratified_sample(),
         "sample_per_month": ORACLE_SAMPLE_PER_MONTH,
+        "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "tfidf_topk": ORACLE_TFIDF,
         "pack_chunks": ORACLE_PACK_CHUNKS,
         "corpus_pipeline": _oracle_corpus_pipeline(),

@@ -516,3 +516,25 @@ def test_robots_rfc_group_and_longest_match(spark):
         "https://h.example/private/press/a",
         "https://h.example/public/a",
     ]
+
+
+def test_bloom_probe_stays_jvm_side(spark):
+    """Regression lock for the round-2 scale bug: the probe's bit tests must
+    be column expressions — no scalar-UDF node (ArrowEvalPython) may appear,
+    because it would serialize the broadcast bitset per candidate row (the
+    bloom BUILD's applyInPandas over tiny shard groups is the only python)."""
+    import contextlib
+    import io
+
+    seeds = with_frontier_keys(_seeds_df(spark, 300)).select("url").distinct()
+    fetched = seeds.limit(50)
+    out = filter_unseen(seeds, fetched, use_bloom=True, num_shards=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # bloom build only: one FlatMapGroupsInPandas subtree per union branch
+    # (each also appears once in the formatted detail section)
+    assert plan.count("FlatMapGroupsInPandas") <= 4
+    assert "BroadcastHashJoin" in plan  # bitset attaches via broadcast

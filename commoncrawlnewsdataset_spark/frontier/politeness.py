@@ -74,6 +74,27 @@ def politeness_rank(
 def wave_order(selected: DataFrame) -> DataFrame:
     """Deterministic global fetch order within a wave: interleave hosts by
     per-host rank first (fair scheduling), then the total order columns.
-    Adds `wave_seq` (1-based global sequence)."""
-    w = Window.orderBy(F.asc("rank"), *order_cols())
-    return selected.withColumn("wave_seq", F.row_number().over(w))
+    Adds `wave_seq` (1-based global sequence).
+
+    Scale-safe two-phase form (same shape as packing.global_cumsum): range
+    partition by the sort keys, row_number within each partition, broadcast
+    per-partition count offsets — never a no-partition global window (which
+    would run the whole wave through a single task).  RangePartitioner
+    guarantees partition i holds strictly-earlier keys than i+1, so local
+    rank + offset IS the exact global row_number."""
+    keys = [F.asc("rank"), *order_cols()]
+    part = selected.repartitionByRange(*keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*keys)
+    local = part.withColumn("_local", F.row_number().over(w_local))
+    totals = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("wave_seq", (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local")
+    )

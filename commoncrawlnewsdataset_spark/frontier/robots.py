@@ -18,9 +18,14 @@ def parse_robots_txt(host: str, body: str, agent: str = "*") -> list[dict]:
     dimension table.
 
     - consecutive User-agent lines share one group;
-    - a group matching the SPECIFIC agent overrides the ``*`` group (groups
-      are not merged — the RFC picks the most specific matching group);
-    - Allow/Disallow/Crawl-delay collected per group; precedence between
+    - groups matching the SPECIFIC agent override the ``*`` groups (specific
+      vs ``*`` are never merged — RFC 9309 §2.2.1 picks the most specific
+      match), but ALL groups matching the SAME agent are COMBINED (§2.2.1:
+      "combine the rules of every group that matches"), so a second
+      ``User-agent: ccbot`` group later in the file still applies;
+    - Allow/Disallow collected across the combined groups; Crawl-delay is
+      the max across them (the conservative politeness choice — it is a
+      non-RFC extension with no defined merge rule); precedence between
       overlapping Allow/Disallow prefixes is resolved at gate time by
       longest-match (gate_by_robots)."""
     groups: list[dict] = []  # {agents: set, rules: [(prefix, allowed)], delay}
@@ -50,27 +55,23 @@ def parse_robots_txt(host: str, body: str, agent: str = "*") -> list[dict]:
             except ValueError:
                 pass
 
-    chosen = None
+    matching: list[dict] = []
     if agent != "*":
-        for g in groups:
-            if agent.lower() in g["agents"]:
-                chosen = g
-                break
-    if chosen is None:
-        for g in groups:
-            if "*" in g["agents"]:
-                chosen = g
-                break
-    if chosen is None:
+        matching = [g for g in groups if agent.lower() in g["agents"]]
+    if not matching:
+        matching = [g for g in groups if "*" in g["agents"]]
+    if not matching:
         return []
+    merged_rules = [(p, a) for g in matching for p, a in g["rules"]]
+    delays = [g["delay"] for g in matching if g["delay"] is not None]
+    delay = max(delays) if delays else None
     rules = [
-        {"host": host, "path_prefix": p, "allowed": a,
-         "crawl_delay_s": chosen["delay"]}
-        for p, a in chosen["rules"]
+        {"host": host, "path_prefix": p, "allowed": a, "crawl_delay_s": delay}
+        for p, a in merged_rules
     ]
-    if not rules and chosen["delay"] is not None:
+    if not rules and delay is not None:
         rules.append({"host": host, "path_prefix": "", "allowed": True,
-                      "crawl_delay_s": chosen["delay"]})
+                      "crawl_delay_s": delay})
     return rules
 
 

@@ -260,8 +260,11 @@ class WaveRunner:
         anti-join against the delta urls — the big checkpoint scan is never
         shuffled, so per-wave cost tracks delta volume, not frontier size.
         Iceberg analog: MERGE INTO target USING delta.  `upto_wave` gives
-        time travel to any snapshot (resume semantics); raw deltas are never
-        deleted, so time travel works below the checkpoint too."""
+        time travel to any snapshot (resume semantics).  Time travel below
+        the newest checkpoint stays valid only until ``expire_snapshots``
+        removes the covered deltas; expiration clamps its horizon to a
+        committed checkpoint, so every SURVIVING wave always resolves from a
+        checkpoint at-or-below it plus intact deltas."""
         waves = self.committed_waves()
         if upto_wave is not None:
             waves = [w for w in waves if w <= upto_wave]
@@ -352,18 +355,28 @@ class WaveRunner:
         return upto
 
     def expire_snapshots(self, keep_waves_after: int | None = None) -> list[int]:
-        """Iceberg ``expire_snapshots`` analog: drop raw wave deltas at or
-        below the newest checkpoint (default) or below ``keep_waves_after``,
-        provided a committed checkpoint at/above that wave covers them.
-        Time travel remains valid for every wave above the expiration
-        horizon; manifests are KEPT (lineage metrics survive expiration).
+        """Iceberg ``expire_snapshots`` analog: drop raw wave deltas covered
+        by a committed checkpoint.  The horizon is the newest checkpoint
+        <= ``keep_waves_after`` (default: the newest checkpoint overall) —
+        NOT ``keep_waves_after`` itself: a wave W between a checkpoint C and
+        the requested cutoff would otherwise lose deltas (C, W] that
+        ``state(upto_wave=W)`` still needs, since W resolves from C plus
+        every delta after it.  Clamping to a checkpoint guarantees every
+        surviving wave resolves from a checkpoint at-or-below it plus intact
+        deltas.  Manifests are KEPT (lineage metrics survive expiration).
         Returns the expired wave numbers."""
         import shutil
 
         ckpts = self.committed_checkpoints()
         if not ckpts:
             return []
-        horizon = ckpts[-1] if keep_waves_after is None else min(keep_waves_after, ckpts[-1])
+        if keep_waves_after is None:
+            horizon = ckpts[-1]
+        else:
+            covered = [c for c in ckpts if c <= keep_waves_after]
+            if not covered:
+                return []  # no checkpoint covers the requested range yet
+            horizon = covered[-1]
         expired = []
         for w in self.committed_waves():
             if w <= horizon:
@@ -441,7 +454,16 @@ class WaveRunner:
                     att.append(res[1])
                     clen.append(res[2])
                     if keep_payload:
-                        bodies.append(res[3] if len(res) > 3 else None)
+                        if len(res) < 4:
+                            raise ValueError(
+                                "page_sink_dir is set but the fetcher returned "
+                                f"{len(res)} elements (no payload) — the sink "
+                                "would silently fill html=None for every page. "
+                                "Use a payload-returning fetcher: "
+                                "make_http_fetcher(keep_content=True) or "
+                                "simulated_fetch_with_payload."
+                            )
+                        bodies.append(res[3])
                 out = pdf[["url", "url_hash", "host", "priority", "discovered_ts"]].copy()
                 out["ok"] = ok
                 out["attempts"] = att

@@ -436,6 +436,9 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    on_exhaustion: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-dup pair list: every node gets
     ``cluster_id`` = the minimum id reachable through pairs (singletons keep
@@ -443,30 +446,81 @@ def dup_clusters(
     (LSH / Jaccard / cosine) into actual dedup groups with a deterministic
     survivor per group.
 
-    Plan shape per round: one join (edges ⋈ labels) + one min-aggregate —
-    2 shuffles — and labels converge in O(log diameter) rounds because the
-    min flows BOTH directions each round (edges are symmetrized).  Lineage
-    is cut with localCheckpoint every round so the iterative plan stays flat
-    (Catalyst would otherwise re-analyze an exponentially growing tree);
-    convergence is detected from a per-round changed-count, so the driver
-    runs exactly as many rounds as the graph needs."""
-    edges = (
+    Convergence is O(log n) rounds via pointer doubling: each round first
+    takes the min over direct neighbors (one hop), then compresses through
+    the label graph (lbl := label(label(id))), so label distances halve per
+    round on top of the hop — a bare neighbor-min would be O(diameter) and a
+    templated-page chain longer than max_iter hops would silently exit
+    unconverged.  If max_iter is still exhausted the function raises
+    (``on_exhaustion='raise'``, default) or warns and returns the partial
+    labels (``'warn'``) — never a silent wrong answer.
+
+    Durability: with ``checkpoint_dir`` set, edges are materialized to
+    parquet once and labels spill to parquet every ``checkpoint_every``
+    rounds — executor loss can't kill a 10^10-edge clustering the way
+    truncated ``localCheckpoint`` lineage would, and a re-run over the same
+    dir RESUMES from the newest committed round (same wave-log protocol as
+    WaveRunner: _SUCCESS-marked round dirs, partials ignored).  Without it,
+    lineage is cut per round with localCheckpoint (fast, test-scale).
+
+    Plan shape per round: 2 joins + 2 min-aggregates (~4 shuffles), plus one
+    small changed-count job for convergence detection."""
+    import os
+
+    spark = nodes.sparkSession
+
+    def _committed_rounds() -> list[int]:
+        if checkpoint_dir is None or not os.path.isdir(checkpoint_dir):
+            return []
+        out = []
+        for d in os.listdir(checkpoint_dir):
+            if d.startswith("round=") and os.path.exists(
+                os.path.join(checkpoint_dir, d, "_SUCCESS")
+            ):
+                out.append(int(d.split("=")[1]))
+        return sorted(out)
+
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = os.path.join(checkpoint_dir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    edges = _persist(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "edges",
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-    for _ in range(max_iter):
+    done = _committed_rounds()
+    if done:  # resume from the newest committed label spill
+        start = done[-1] + 1
+        labels = spark.read.parquet(
+            os.path.join(checkpoint_dir, f"round={done[-1]:05d}")
+        )
+    else:
+        start = 0
+        labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+
+    converged = False
+    for i in range(start, max_iter):
         msgs = edges.join(
             labels.select(F.col("id").alias("src"), "lbl"), "src"
         ).select(F.col("dst").alias("id"), "lbl")
-        new = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+        hop = labels.unionByName(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        # pointer doubling: follow the label chain one more step so label
+        # distances halve each round (lbl is itself a node id; its current
+        # label is a valid — and no larger — representative)
+        parents = hop.select(F.col("id").alias("lbl"), F.col("lbl").alias("plbl"))
+        new = hop.join(parents, "lbl", "left").select(
+            "id", F.least(F.col("lbl"), F.col("plbl")).alias("lbl")
         )
+        if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
+            new = _persist(new, f"round={i:05d}")
+        else:
+            new = new.localCheckpoint()
         changed = (
             new.select("id", F.col("lbl").alias("new_lbl"))
             .join(labels, "id")
@@ -475,5 +529,18 @@ def dup_clusters(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dup_clusters did not converge within max_iter={max_iter} rounds; "
+            "labels are PARTIAL (some clusters split). Raise max_iter — "
+            "pointer doubling needs only O(log n) rounds."
+        )
+        if on_exhaustion == "warn":
+            import warnings
+
+            warnings.warn(msg)
+        else:
+            raise RuntimeError(msg)
     return labels.select("id", F.col("lbl").alias("cluster_id"))

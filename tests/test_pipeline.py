@@ -214,3 +214,114 @@ def test_stream_warc_ingest(spark, tmp_path):
     drain()
     urls = sorted(r["url"] for r in spark.read.parquet(sink).select("url").collect())
     assert urls == [f"https://s.example/{i}" for i in (1, 2, 3)]
+
+
+def test_politeness_debt_stream_equals_batch_replay(spark, tmp_path):
+    """VERDICT r2 #6: per-host crawl-delay debt carried across micro-batches
+    (applyInPandasWithState) must equal a plain batch replay of the same
+    recurrence over the same batch sequence — banked credit raises a later
+    batch's allowance, over-demand defers and carries forward."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawlnewsdataset_spark.streaming.ingest import (
+        politeness_debt,
+        stream_pages,
+    )
+
+    BATCH_S = 30.0
+    DELAYS = {"h0.example.org": 10.0}  # h1 falls through to default 1.0
+    batches = [
+        {"h0.example.org": 5, "h1.example.org": 10},
+        {"h0.example.org": 1, "h1.example.org": 40},
+        {"h0.example.org": 2},
+        {"h0.example.org": 7, "h1.example.org": 5},
+    ]
+
+    src = str(tmp_path / "req")
+    os.makedirs(src)
+    arrow_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    t0 = 1_700_000_000
+    for i, counts in enumerate(batches):
+        urls = [
+            f"https://{host}/b{i}/u{j}"
+            for host, n in counts.items()
+            for j in range(n)
+        ]
+        tbl = pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array([None] * len(urls), pa.binary()),
+                "text": pa.array([None] * len(urls), pa.string()),
+                "lang": pa.array([None] * len(urls), pa.string()),
+            },
+            schema=arrow_schema,
+        )
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (t0 + i, t0 + i))  # deterministic batch order
+
+    q = (
+        politeness_debt(
+            stream_pages(spark, src, max_files_per_trigger=1),
+            DELAYS,
+            batch_seconds=BATCH_S,
+            default_delay=1.0,
+        )
+        .writeStream.format("memory")
+        .queryName("debt")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import Window as W
+
+    updates = spark.sql("select * from debt")
+    latest = (
+        updates.withColumn(
+            "rn", F.row_number().over(W.partitionBy("host").orderBy(F.desc("batches_seen")))
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    got = {
+        r["host"]: (r["n_requested"], r["n_granted"], r["n_deferred"],
+                    r["carry_s"], r["batches_seen"])
+        for r in latest
+    }
+
+    def replay(host):
+        delay = DELAYS.get(host, 1.0)
+        carry, req, gr, seen = 0.0, 0, 0, 0
+        for counts in batches:
+            n = counts.get(host, 0)
+            if n == 0:
+                continue  # state updates only on batches where the host appears
+            allowed = int((BATCH_S + carry) // delay)
+            g = min(n, allowed)
+            carry = min(BATCH_S, BATCH_S + carry - g * delay)
+            req += n
+            gr += g
+            seen += 1
+        return req, gr, req - gr, carry, seen
+
+    assert got == {h: replay(h) for h in ("h0.example.org", "h1.example.org")}
+    # sanity: the debt dynamics actually bit — h0 deferred work AND banked
+    # credit raised a later allowance above floor(batch/delay)
+    assert got["h0.example.org"][2] > 0
+    per_batch_base = int(BATCH_S // DELAYS["h0.example.org"])
+    assert got["h0.example.org"][1] > per_batch_base * 3  # credit was spent

@@ -117,6 +117,25 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, qv, books, k=20)
 
 
+def q_opq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (scale path #4; recall < 1 by design, no SQL oracle): learn an
+    orthogonal rotation via alternating Procrustes/PQ on a bounded
+    deterministic sample (driver-side numpy — d x d matrices only), apply it
+    distributed as one Arrow-batched matmul per batch, then plain PQ ADC in
+    the rotated space (Ge et al., OPQ, CVPR 2013)."""
+    import numpy as np
+
+    from commoncrawlnewsdataset_spark.operators.opq import opq_train, rotate
+    from commoncrawlnewsdataset_spark.operators.pq import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    R, books = opq_train(emb, m=8, k=16, n_iter=3, sample_size=1000)
+    codes = pq_encode(rotate(emb, R), books)
+    row = emb.orderBy("vec_id").select("embedding").first()
+    qv = np.asarray([float(x) for x in row["embedding"]], dtype=np.float64)
+    return pq_topk(codes, [float(x) for x in (R @ qv)], books, k=20)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -179,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_ann_topk": q_lsh_ann_topk,
             "ivf_ann_topk": q_ivf_ann_topk,
             "pq_ann_topk": q_pq_ann_topk,
+            "opq_ann_topk": q_opq_ann_topk,
             "media_features": q_media_features,
             "ner_gazetteer": q_ner_gazetteer,
         }

@@ -98,7 +98,7 @@ def main() -> None:
             {
                 "metric": "frontier_urls_scheduled_fetched_per_sec",
                 "value": round(wave["urls_per_sec"], 1),
-                "unit": "sec",
+                "unit": "urls/sec",
                 "queries": timings,
                 "sf": float(sf),
                 "frontier": {

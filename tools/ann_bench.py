@@ -1,0 +1,161 @@
+"""ANN recall-vs-cost table (VERDICT r2 #8): measure recall@k and probe
+wall-time for every ANN index family at a given SF so index choice is
+evidence-based, not vibes.  Writes BENCH/ANN.md.
+
+Usage: python tools/ann_bench.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    k = 10
+
+    from pyspark.sql import functions as F
+
+    from commoncrawlnewsdataset_spark.operators import similarity as S
+    from commoncrawlnewsdataset_spark.operators.opq import opq_train, rotate
+    from commoncrawlnewsdataset_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("ann-bench")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n = emb.count()
+    dim = len(emb.select("embedding").head()[0])
+
+    # query set: every (n // n_queries)-th vector
+    step = max(1, n // n_queries)
+    qrows = (
+        emb.selectExpr("vec_id", "embedding")
+        .filter(f"vec_id % {step} = 1")
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect()
+    )
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+
+    # exact ground truth per query (numpy, driver-side — n x dim fits at sf0.1)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    truth = {}
+    for qid, qv in queries:
+        # mirror the engine's contract exactly: scores rounded to 4dp,
+        # ties broken by ascending id (else tie rank order pollutes recall)
+        s = np.round(Mn @ (np.array(qv) / (np.linalg.norm(qv) or 1.0)), 4)
+        order = np.lexsort((ids, -s))
+        truth[qid] = set(ids[order[:k]].tolist())
+
+    results = []  # (name, prep_s, mean_probe_s, recall@k)
+
+    def run(name: str, prep_s: float, probe_fn) -> None:
+        t_total, hit = 0.0, 0
+        for qid, qv in queries:
+            t0 = time.time()
+            got = {r["vec_id"] for r in probe_fn(qv).collect()}
+            t_total += time.time() - t0
+            hit += len(got & truth[qid])
+        rec = hit / (k * len(queries))
+        results.append((name, prep_s, t_total / len(queries), rec))
+        print(f"{name:28s} prep={prep_s:6.2f}s probe={t_total/len(queries):6.3f}s recall@{k}={rec:.3f}")
+
+    # brute force (exact baseline)
+    run("brute_force", 0.0, lambda qv: S.brute_force_topk(emb, qv, k))
+
+    # sign-LSH over a PRECOMPUTED bucket column (the deployment shape: the
+    # bucket is a stored/partition column, never recomputed per query)
+    t0 = time.time()
+    planes = S.hyperplanes(dim, 8)
+    bucketed = emb.withColumn("_bkt", S.lsh_bucket_expr(F.col("embedding"), planes)).cache()
+    bucketed.count()
+    lsh_prep = time.time() - t0
+
+    def lsh_probe(qv, ph):
+        qbits = 0
+        for j, p in enumerate(planes):
+            if sum(a * b for a, b in zip(qv, p)) > 0:
+                qbits |= 1 << j
+        cand = bucketed.filter(
+            F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qbits))) <= ph
+        )
+        return S.brute_force_topk(cand, qv, k)
+
+    for ph in (0, 1, 2):
+        run(f"lsh(planes=8,hamming={ph})", lsh_prep,
+            lambda qv, ph=ph: lsh_probe(qv, ph))
+
+    # IVF over a written, partition-pruned index
+    import tempfile
+
+    t0 = time.time()
+    cents = S.kmeans_refine(emb, S.pick_centroids(emb, 16), n_iter=2)
+    idx = tempfile.mkdtemp(prefix="ivf-bench-")
+    S.write_ivf_index(emb, idx, cents)
+    ivf_prep = time.time() - t0
+    for np_ in (1, 2, 4):
+        run(
+            f"ivf(lists=16,probe={np_})",
+            ivf_prep,
+            lambda qv, np_=np_: S.ivf_probe_read(spark, idx, qv, cents, k, n_probe=np_),
+        )
+
+    # PQ (ADC over codes)
+    t0 = time.time()
+    books = pq_train(emb, m=8, k=16, n_iter=2)
+    codes = pq_encode(emb, books).cache()
+    codes.count()
+    pq_prep = time.time() - t0
+    run("pq(m=8,k=16)", pq_prep, lambda qv: pq_topk(codes, qv, books, k))
+
+    # OPQ (learned rotation + PQ)
+    t0 = time.time()
+    R, obooks = opq_train(emb, m=8, k=16, n_iter=4, sample_size=2000)
+    ocodes = pq_encode(rotate(emb, R), obooks).cache()
+    ocodes.count()
+    opq_prep = time.time() - t0
+    run(
+        "opq(m=8,k=16)",
+        opq_prep,
+        lambda qv: pq_topk(ocodes, list(np.asarray(R) @ np.asarray(qv)), obooks, k),
+    )
+
+    with open("BENCH/ANN.md", "w") as f:
+        f.write(
+            f"# ANN recall vs cost — {sf_dir}, n={n}, dim={dim}, "
+            f"{len(queries)} queries, k={k}\n\n"
+            "Probe = mean wall-clock per query (local[32]); prep = one-time\n"
+            "index/codebook build.  Ground truth = exact cosine top-k (same\n"
+            "4dp-rounding + id tie-break contract as the engine).  At this SF\n"
+            "per-query wall is dominated by fixed job-scheduling overhead\n"
+            "(~0.3s); the scale signal is SCANNED BYTES — IVF opens\n"
+            "n_probe/lists of the partition dirs, PQ/OPQ scan m-byte codes.\n\n"
+            "| index | prep (s) | probe (s) | recall@10 |\n"
+            "|---|---|---|---|\n"
+        )
+        for name, prep, probe, rec in results:
+            f.write(f"| {name} | {prep:.2f} | {probe:.3f} | {rec:.3f} |\n")
+        f.write(
+            "\nReading: LSH trades recall for probe cost via the Hamming\n"
+            "radius; IVF's probe cost tracks n_probe/lists of the corpus\n"
+            "(partition-pruned scan of a WRITTEN index); PQ/OPQ scan m-byte\n"
+            "codes instead of dim floats, and the OPQ rotation recovers\n"
+            "recall lost to PQ's contiguous-slice split.  At 10^9+ vectors\n"
+            "combine them: IVF partition pruning x OPQ codes (ADC) x exact\n"
+            "re-rank of the short list.\n"
+        )
+    print("wrote BENCH/ANN.md")
+
+
+if __name__ == "__main__":
+    main()

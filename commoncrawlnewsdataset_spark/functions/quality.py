@@ -71,3 +71,63 @@ def fingerprint_rolling(text: Column, modulus: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(modulus)),
     )
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
+    use duplicate-line/-ngram fractions as quality gates; this corpus is
+    single-line so the token/bigram forms carry the signal):
+
+    - ``dup_token_frac``  = 1 - distinct_tokens / total_tokens
+    - ``top_bigram_frac`` = occurrences of the most frequent bigram / total
+      bigrams (0.0 when < 2 tokens)
+
+    Scale shape: token stats are pure column expressions; the bigram mode
+    needs a per-doc argmax, computed by exploding (doc, xxhash64(bigram))
+    rows into ONE groupBy — only 8-byte hashes shuffle, never bigram text
+    (counts are what flow; an 8-byte collision would need ~2^32 distinct
+    bigrams per doc).  Returns (doc_id, n_tokens, dup_token_frac,
+    top_bigram_frac)."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # bigrams via zip_with(head, tail): the lambda touches only its element
+    # args, so the token pipeline is NOT re-inlined per element (indexing
+    # with element_at(toks, i) inside a transform would recompute the whole
+    # split per position — Catalyst projection collapse, O(n^2) per doc)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).alias("bg"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bg").alias("b"))
+        .groupBy("doc_id", F.xxhash64("b").alias("bh"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bg"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 4),
+            ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.round(F.col("top_bg") / (F.col("n_tokens") - 1), 4),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

@@ -371,6 +371,60 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide chunk ("paragraph") dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup, over fixed ``chunk_tokens``-token
+    chunks (the corpus here is single-line; with real newline paragraphs the
+    split expression is the only change): a chunk SURVIVES only in the
+    minimum-id document containing its exact text; every later occurrence is
+    dropped.  Returns per-doc (doc_id, n_chunks, n_kept) — the boilerplate
+    mass a paragraph dedup would remove is n_chunks - n_kept.
+
+    Scale shape: tokens posexplode ONCE per document (slicing a computed
+    token array per chunk index looks natural but Catalyst's projection
+    collapse re-inlines the whole split per element — O(n_chunks x n) token
+    work per doc, ruinous on long documents; the same blowup minhash banding
+    dodges); chunks re-assemble in a (doc, chunk_id) groupBy with groups of
+    at most ``chunk_tokens`` rows (no skew possible), then ONE groupBy on
+    the 32-hex hash finds each chunk's owner and a count per doc finishes.
+    Downstream of the scan only hashes and per-chunk token rows shuffle."""
+    toks = tokens(F.col(text_col))
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    chunk_rows = tok_rows.groupBy(
+        "doc_id", F.floor(F.col("pos") / chunk_tokens).alias("ci")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("h")
+    )
+    owners = chunk_rows.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    kept = (
+        chunk_rows.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("doc_id") == F.col("owner")).cast("long")).alias("n_kept"),
+        )
+    )
+    return kept
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (blocked exact path; ANN lives in similarity.py)
 # ---------------------------------------------------------------------------
 

@@ -56,3 +56,40 @@ def stratified_hash_sample(
         expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
     threshold = expr.otherwise(threshold) if expr is not None else threshold
     return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    nsalt: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb-style per-DOMAIN cap that stops
+    a handful of template-heavy hosts from dominating the training mix):
+    keep at most ``cap`` rows per group, chosen by a deterministic uniform
+    hash rank over ``key_col`` — a seeded random sample that is reproducible
+    across engines and runs, unlike an arbitrary LIMIT.
+
+    Skew-safe two-phase rank (same construction and proof as
+    frontier.politeness_rank): phase 1 ranks within (group, salt) partitions
+    and keeps <= cap each, bounding any one group's survivors at cap * nsalt
+    regardless of how many documents the hottest domain has; phase 2 ranks
+    the survivors exactly.  Adds ``rk`` (1-based, per group)."""
+    from pyspark.sql import Window
+
+    order = [hash_bucket(F.col(key_col), seed), F.col(key_col)]
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(key_col)), F.lit(nsalt)))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    survivors = (
+        salted.repartition(F.col(group_col), F.col("_salt"))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )

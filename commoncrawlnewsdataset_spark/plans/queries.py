@@ -1800,6 +1800,113 @@ FROM documents WHERE doc_id < 200
 
 
 # =========================================================================
+# Training-mix hygiene: chunk dedup, repetition gates, per-domain caps
+# =========================================================================
+
+CHUNK_DEDUP_TOKENS = 8
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup over fixed 8-token chunks: a chunk
+    survives only in the min-id document containing its exact text; per-doc
+    (n_chunks, n_kept) quantifies the boilerplate mass removal.  Only md5
+    hashes shuffle — never chunk text."""
+    from commoncrawlnewsdataset_spark.operators.dedup import chunk_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, "doc_id", "text", CHUNK_DEDUP_TOKENS)
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(len(toks) / {CHUNK_DEDUP_TOKENS}.0) AS INT)),
+           i -> array_to_string(
+                  list_slice(toks, (i-1)*{CHUNK_DEDUP_TOKENS} + 1, i*{CHUNK_DEDUP_TOKENS}),
+                  ' '))) AS chunk
+  FROM t WHERE len(toks) > 0
+), h AS (
+  SELECT doc_id, md5(chunk) AS h FROM ch
+), owners AS (
+  SELECT h, min(doc_id) AS owner FROM h GROUP BY h
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM h JOIN owners USING (h) GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition gates (duplicate-token fraction,
+    most-frequent-bigram mass) — the quality signals a pretraining filter
+    thresholds on; bigram mode via one exploded hash-keyed groupBy."""
+    from commoncrawlnewsdataset_spark.functions.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+ORACLE_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS b
+  FROM t WHERE len(toks) >= 2
+), top AS (
+  SELECT doc_id, max(c) AS top_bg FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(toks) >= 2
+            THEN round(top_bg / CAST(len(toks) - 1 AS DOUBLE), 4)
+            ELSE 0.0 END AS top_bigram_frac
+FROM t LEFT JOIN top USING (doc_id)
+"""
+
+
+DOMAIN_CAP = 30
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap: at most N docs per source, picked by
+    deterministic hash rank (reproducible seeded sample, not arbitrary
+    LIMIT), salted two-phase rank so the hottest domain can't bottleneck a
+    single partition (same proof as the politeness queue)."""
+    from commoncrawlnewsdataset_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", DOMAIN_CAP).select(
+        "source", "doc_id", "rk"
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP}
+"""
+
+
+# =========================================================================
 # Capstone: crawl -> pages -> extract -> quality -> dedup -> pack, ONE row
 # =========================================================================
 
@@ -1945,6 +2052,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
+        "chunk_dedup": q_chunk_dedup,
+        "repetition_stats": q_repetition_stats,
+        "domain_cap": q_domain_cap,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2006,6 +2116,9 @@ def oracle_sqls() -> dict[str, str]:
         "quality_score": ORACLE_QUALITY_SCORE,
         "fingerprints": ORACLE_FINGERPRINTS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "chunk_dedup": ORACLE_CHUNK_DEDUP,
+        "repetition_stats": ORACLE_REPETITION,
+        "domain_cap": ORACLE_DOMAIN_CAP,
         "minhash_signatures": _oracle_minhash_sigs(),
         "minhash_lsh_pairs": _oracle_minhash_pairs(),
         "simhash": _oracle_simhash(),

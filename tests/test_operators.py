@@ -622,3 +622,30 @@ def test_opq_rotation_improves_pq(spark):
     sims = vecs @ vecs[qi] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qi]))
     exact50 = set(np.argsort(-sims)[:50].tolist())
     assert len(set(ann) & exact50) >= 7
+
+
+def test_cap_per_group_salting_invariance(spark):
+    """The salted two-phase per-domain cap must equal the single-window
+    result exactly (same proof as politeness_rank), and the kept set is a
+    deterministic function of the key hash."""
+    from pyspark.sql import Window
+
+    from commoncrawlnewsdataset_spark.operators.sampling import cap_per_group, hash_bucket
+
+    df = spark.createDataFrame(
+        [(f"d{i % 3}", i) for i in range(500)] + [("hot", i) for i in range(500, 1500)],
+        ["source", "doc_id"],
+    )
+    got = {
+        (r["source"], r["doc_id"], r["rk"])
+        for r in cap_per_group(df, "source", "doc_id", 25, nsalt=4).collect()
+    }
+    w = Window.partitionBy("source").orderBy(hash_bucket(F.col("doc_id")), "doc_id")
+    want = {
+        (r["source"], r["doc_id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter("rk <= 25")
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for s, _, _ in got if s == "hot") == 25

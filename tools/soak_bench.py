@@ -1,0 +1,114 @@
+"""Multi-wave compaction soak (VERDICT r2 #5): run ~50 REAL waves over a
+10^6-url frontier with periodic compaction + snapshot expiration and show
+per-wave cost stays FLAT — i.e. the O(delta) snapshot read + checkpoint
+cadence actually holds at the wave counts the north rule implies, extending
+BENCH/ODELTA.md's single datapoint.  Writes BENCH/SOAK.md.
+
+Usage: python tools/soak_bench.py [n_urls] [n_hosts] [budget] [compact_every]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    max_waves = 50
+
+    from pyspark.sql import functions as F
+
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("soak-bench")
+    # synthesize the frontier distributed (a 10^6-row driver loop would be
+    # the bottleneck, not the engine)
+    seeds = spark.range(n_urls).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("priority"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("discovered_ts"),
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="soak-state-")
+    runner = WaveRunner(
+        spark, state_dir, per_host_budget=budget, nsalt=8,
+        use_robots=False, detailed_metrics=False,
+    )
+    t0 = time.time()
+    runner.load_seeds(seeds)
+    seed_s = time.time() - t0
+
+    rows = []
+    for _ in range(max_waves):
+        t0 = time.time()
+        m = runner.run_wave()
+        wall = time.time() - t0
+        note = ""
+        if (
+            compact_every
+            and not m.get("done")
+            and m["wave"] % compact_every == 0
+        ):
+            tc = time.time()
+            runner.compact(m["wave"])
+            expired = runner.expire_snapshots()
+            note = f"compact {time.time()-tc:.1f}s, expired {len(expired)}"
+        rows.append((m["wave"], m.get("n_selected", 0), wall, m.get("phase_s", {}), note))
+        if m.get("done"):
+            break
+
+    work = [r for r in rows if r[1] > 0]
+    early = [r[2] for r in work[1:6]]
+    late = [r[2] for r in work[-5:]]
+    ratio = (sum(late) / len(late)) / (sum(early) / len(early))
+    total_fetched = sum(r[1] for r in rows)
+    total_s = sum(r[2] for r in rows)
+
+    with open("BENCH/SOAK.md", "w") as f:
+        f.write(
+            f"# 50-wave compaction soak — {n_urls:,} urls, {n_hosts:,} hosts, "
+            f"budget {budget}, compact_every={compact_every} + expire_snapshots\n\n"
+            f"Seed load: {seed_s:.1f}s.  Total: {total_fetched:,} urls attempted "
+            f"over {len(work)} working waves, {total_s:.1f}s "
+            f"({total_fetched/total_s:,.0f} urls/s sustained, local[32]).\n\n"
+            f"**Flatness: mean wall of waves {work[1][0]}-{work[5][0]} = "
+            f"{sum(early)/len(early):.2f}s vs waves {work[-5][0]}-{work[-1][0]} = "
+            f"{sum(late)/len(late):.2f}s -> late/early ratio {ratio:.2f}** "
+            "(<= ~1.2 means per-wave cost does NOT grow with the accumulated "
+            "wave log — the O(delta) snapshot read + compaction cadence holds; "
+            "ratios well below 1 additionally reflect the draining pending "
+            "set, since wave SELECTION is inherently O(pending): the "
+            "politeness queue ranks every pending url per host).\n\n"
+            "| wave | selected | wall (s) | plan (s) | fetch+metrics (s) | write (s) | compaction |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for w, nsel, wall, ph, note in rows:
+            f.write(
+                f"| {w} | {nsel:,} | {wall:.2f} | {ph.get('plan', 0):.2f} | "
+                f"{ph.get('select_fetch_metrics', 0):.2f} | {ph.get('write', 0):.2f} | {note} |\n"
+            )
+    print(
+        f"waves={len(rows)} fetched={total_fetched:,} total={total_s:.1f}s "
+        f"late/early={ratio:.2f} -> BENCH/SOAK.md"
+    )
+
+
+if __name__ == "__main__":
+    main()

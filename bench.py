@@ -54,6 +54,12 @@ def main() -> None:
         "jaccard_pairs",
         "minhash_lsh_pairs",
         "cosine_dup_pairs_lsh",
+        # round 3: training-mix hygiene + the crawl->corpus capstone (two
+        # REAL waves + extract + dedup + pack in one lazy-plan spine)
+        "chunk_dedup",
+        "repetition_stats",
+        "domain_cap",
+        "crawl_corpus_pipeline",
     ]
     registry = spark_queries()
     # warm up the JVM/codegen/python-worker pools so the first timed query

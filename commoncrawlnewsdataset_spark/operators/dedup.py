@@ -371,6 +371,49 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# incremental cross-batch dedup against a fingerprint store
+# ---------------------------------------------------------------------------
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental corpus building: exact-dedup a NEW batch against every
+    previously ingested batch WITHOUT rescanning old text — the URL-seen
+    pattern (frontier/core.py) applied to content.  An append-only parquet
+    log under ``store_dir`` holds one md5 content fingerprint per surviving
+    document; the new batch (1) drops rows whose fingerprint is already
+    logged (anti-join on 16-byte keys — old TEXT is never read again),
+    (2) keeps the deterministic min-id survivor per fingerprint within the
+    batch (D1 semantics), and (3) appends the survivors' fingerprints.
+
+    Returns the surviving rows of the new batch.  At 100 TB the store is
+    fingerprints only (16 bytes/doc); when it outgrows a direct anti-join,
+    the bloom front (frontier.core.filter_unseen) slots in unchanged —
+    same key shape, same no-false-negative contract."""
+    import os
+
+    from commoncrawlnewsdataset_spark.functions.quality import fingerprint_md5
+
+    spark = new_docs.sparkSession
+    log = os.path.join(store_dir, "fingerprints.parquet")
+    with_fp = new_docs.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    if os.path.isdir(log):
+        seen = spark.read.parquet(log).select(F.col("fp").alias("_fp"))
+        fresh = with_fp.join(seen, "_fp", "left_anti")
+    else:
+        fresh = with_fp
+    surv = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    # localCheckpoint: the fingerprint append below is an action — without
+    # it the caller's consumption would re-run the whole dedup plan
+    kept = fresh.join(surv, ["_fp", id_col], "left_semi").localCheckpoint()
+    kept.select(F.col("_fp").alias("fp")).write.mode("append").parquet(log)
+    return kept.drop("_fp")
+
+
+# ---------------------------------------------------------------------------
 # corpus-wide chunk ("paragraph") dedup — CCNet-style
 # ---------------------------------------------------------------------------
 

@@ -1906,6 +1906,116 @@ SELECT source, doc_id, rk FROM (
 """
 
 
+DEDUP_STORE_SPLIT = 250
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch dedup: ingest the corpus as TWO batches
+    through a fresh fingerprint store — batch 2 drops everything batch 1
+    already ingested (by content fingerprint, old text never rescanned) and
+    dedups within itself.  The oracle replays both batches in SQL, so the
+    green row certifies the store's cross-batch semantics, not just
+    single-batch dedup."""
+    import tempfile
+
+    from commoncrawlnewsdataset_spark.operators.dedup import dedup_against_store
+
+    store = tempfile.mkdtemp(prefix="dedup-store-")
+    docs = _t(spark, sf_dir, "documents")
+    b1 = dedup_against_store(
+        docs.filter(F.col("doc_id") < DEDUP_STORE_SPLIT), store, "doc_id", "text"
+    )
+    b2 = dedup_against_store(
+        docs.filter(F.col("doc_id") >= DEDUP_STORE_SPLIT), store, "doc_id", "text"
+    )
+    return b1.select(F.lit(1).cast("long").alias("batch"), "doc_id").unionByName(
+        b2.select(F.lit(2).cast("long").alias("batch"), "doc_id")
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), b1 AS (
+  SELECT fp, min(doc_id) AS doc_id FROM f
+  WHERE doc_id < {DEDUP_STORE_SPLIT} GROUP BY fp
+), b2 AS (
+  SELECT fp, min(doc_id) AS doc_id FROM f
+  WHERE doc_id >= {DEDUP_STORE_SPLIT} AND fp NOT IN (SELECT fp FROM b1)
+  GROUP BY fp
+)
+SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM b2
+"""
+
+
+PAGERANK_ITER = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-first crawl prioritization: PageRank over a host link
+    graph (customer-host -> supplier-host edges derived from orders ⋈
+    lineitem), the score a frontier reprioritize() wave would feed into the
+    politeness queue's priority column.  Fixed 3 iterations with
+    per-iteration 10dp rounding make the float pipeline bit-reproducible,
+    so the DuckDB oracle can UNROLL the same three iterations as CTEs and
+    value-check every rank (supplier hosts have no out-edges — the
+    dangling-mass redistribution path is exercised, not just the join)."""
+    from commoncrawlnewsdataset_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("src"),
+            F.concat(F.lit("s"), (F.col("l_suppkey") % 25).cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iter=PAGERANK_ITER, damping=PAGERANK_DAMPING)
+
+
+def _oracle_pagerank() -> str:
+    d = PAGERANK_DAMPING
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITER + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank / dg.deg) AS s
+  FROM e JOIN {prev} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+), dm{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)
+), r{i} AS (
+  SELECT nodes.node,
+         round((1 - {d}) / n + {d} * (coalesce(s, 0) + dm / n), 10) AS rank
+  FROM nodes LEFT JOIN c{i} USING (node) CROSS JOIN dm{i} CROSS JOIN nn
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT concat('h', CAST(o_custkey % 50 AS VARCHAR)) AS src,
+                  concat('s', CAST(l_suppkey % 25 AS VARCHAR)) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn
+),{",".join(iters)}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 # =========================================================================
 # Capstone: crawl -> pages -> extract -> quality -> dedup -> pack, ONE row
 # =========================================================================
@@ -2052,6 +2162,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "chunk_dedup": q_chunk_dedup,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
@@ -2092,6 +2203,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gating": q_robots_gating,
         "frontier_waves": q_frontier_waves,
         "crawl_order": q_crawl_order,
+        "pagerank_hosts": q_pagerank_hosts,
         "crawl_corpus_pipeline": q_crawl_corpus_pipeline,
         # ingestion
         "warc_scan": q_warc_scan,
@@ -2116,6 +2228,7 @@ def oracle_sqls() -> dict[str, str]:
         "quality_score": ORACLE_QUALITY_SCORE,
         "fingerprints": ORACLE_FINGERPRINTS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
         "chunk_dedup": ORACLE_CHUNK_DEDUP,
         "repetition_stats": ORACLE_REPETITION,
         "domain_cap": ORACLE_DOMAIN_CAP,
@@ -2154,6 +2267,7 @@ def oracle_sqls() -> dict[str, str]:
         "robots_gating": ORACLE_ROBOTS,
         "frontier_waves": ORACLE_FRONTIER_WAVES,
         "crawl_order": _oracle_crawl_order(),
+        "pagerank_hosts": _oracle_pagerank(),
         "crawl_corpus_pipeline": _oracle_crawl_corpus(),
         "warc_scan": ORACLE_WARC_SCAN,
     }

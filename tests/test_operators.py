@@ -649,3 +649,24 @@ def test_cap_per_group_salting_invariance(spark):
     }
     assert got == want
     assert sum(1 for s, _, _ in got if s == "hot") == 25
+
+
+def test_dedup_store_persists_across_batches(spark, tmp_path):
+    """dedup_against_store: a batch-3 duplicate of batch-1 content is dropped
+    purely from the fingerprint log (old text is never rescanned), while
+    genuinely new content always survives."""
+    from commoncrawlnewsdataset_spark.operators.dedup import dedup_against_store
+
+    store = str(tmp_path / "store")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ["id", "text"])
+
+    b1 = dedup_against_store(batch([(1, "alpha beta"), (2, "alpha  BETA"), (3, "gamma")]),
+                             store, "id", "text")
+    assert {r["id"] for r in b1.collect()} == {1, 3}  # 2 normalizes to 1's fp
+    b2 = dedup_against_store(batch([(10, "alpha beta"), (11, "delta")]), store, "id", "text")
+    assert {r["id"] for r in b2.collect()} == {11}
+    b3 = dedup_against_store(batch([(20, "gamma"), (21, "delta"), (22, "epsilon")]),
+                             store, "id", "text")
+    assert {r["id"] for r in b3.collect()} == {22}

@@ -75,6 +75,48 @@ def parse_robots_txt(host: str, body: str, agent: str = "*") -> list[dict]:
     return rules
 
 
+def rules_from_robots_pages(
+    robots_pages: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """Build the rules dimension from CRAWLED robots.txt bodies — the
+    production path: fetch ``https://<host>/robots.txt`` through the same
+    WaveRunner fetch machinery (page_sink_dir), then parse per host inside
+    Arrow batches.  Input: (host string, body string); output: the
+    (host, path_prefix, allowed, crawl_delay_s) dimension ``gate_by_robots``
+    consumes.  Parsing is pure-Python string work over one tiny row per
+    host, so mapInPandas is the right tool (no column-expression parser
+    could express RFC 9309 group semantics); the result is a broadcast-size
+    dimension regardless of corpus size."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("path_prefix", StringType()),
+            StructField("allowed", BooleanType()),
+            StructField("crawl_delay_s", DoubleType()),
+        ]
+    )
+    cols = ["host", "path_prefix", "allowed", "crawl_delay_s"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                rows.extend(parse_robots_txt(host, body or "", agent))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return robots_pages.select("host", "body").mapInPandas(gen, out_schema)
+
+
 def gate_by_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Drop URLs whose robots verdict is Disallow, by RFC 9309 longest-match
     precedence: among all Allow/Disallow prefixes matching a url's path, the

@@ -630,3 +630,60 @@ def test_wave_order_two_phase_exact(spark):
     assert "rangepartitioning" in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and any("_pid" in s for s in specs), plan
+
+
+def test_rules_from_crawled_robots_bodies(spark):
+    """The rules dimension can be built from crawled robots.txt bodies
+    (mapInPandas parse per host) and gates the frontier identically to
+    hand-built rules."""
+    from commoncrawlnewsdataset_spark.frontier.robots import rules_from_robots_pages
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: ccbot\nDisallow: /private/\nCrawl-delay: 2\n"),
+            ("b.example", "User-agent: *\nDisallow: /\n"),
+            ("c.example", ""),  # no robots.txt -> no rules -> fully allowed
+        ],
+        ["host", "body"],
+    )
+    rules = rules_from_robots_pages(bodies, agent="ccbot")
+    got = {(r["host"], r["path_prefix"], r["allowed"]) for r in rules.collect()}
+    assert got == {("a.example", "/private/", False), ("b.example", "/", False)}
+    seeds = with_frontier_keys(spark.createDataFrame(
+        [(u,) for u in (
+            "https://a.example/private/x", "https://a.example/public/x",
+            "https://b.example/anything", "https://c.example/ok")], ["url"]))
+    kept = sorted(r["url"] for r in gate_by_robots(seeds, rules).collect())
+    assert kept == ["https://a.example/public/x", "https://c.example/ok"]
+
+
+def test_reprioritize_with_pagerank_scores(spark, tmp_path):
+    """Close the loop graph -> priority queue: reprioritize() the frontier
+    with per-host PageRank scores; the next wave's politeness selection
+    follows the new importance order."""
+    from commoncrawlnewsdataset_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        # h2 absorbs h1's whole rank plus half of h0's; h1 gets only half of
+        # h0's; h0 gets only the dangling redistribution -> strict order
+        [("h0", "h1"), ("h0", "h2"), ("h1", "h2")],
+        ["src", "dst"],
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert ranks["h2"] > ranks["h1"] > ranks["h0"]
+
+    urls = [(f"https://{h}.example.org/p/{i}", 0.5, dt.datetime(2024, 1, 1))
+            for h in ("h0", "h1", "h2") for i in range(3)]
+    runner = WaveRunner(spark, str(tmp_path / "pr"), per_host_budget=9, nsalt=2,
+                        use_robots=False, use_bloom=False)
+    runner.load_seeds(spark.createDataFrame(urls, SEEDS_SCHEMA))
+
+    mapping = F.create_map(
+        *[x for h, r in ranks.items() for x in (F.lit(f"{h}.example.org"), F.lit(r))]
+    )
+    n = runner.reprioritize(lambda pending: F.coalesce(mapping[F.col("host")], F.lit(0.0)))
+    assert n == 9
+    sel = runner.select_wave(runner.state()).collect()
+    by_host = {r["host"]: r["priority"] for r in sel}
+    assert (by_host["h2.example.org"] > by_host["h1.example.org"]
+            > by_host["h0.example.org"])

@@ -70,23 +70,40 @@ def _split_http_payload(payload: bytes) -> tuple[dict[str, str], bytes]:
 
 def _gunzip_all(raw: bytes) -> bytes:
     """Decompress a possibly multi-member gzip stream (CC-style .warc.gz is
-    one gzip member per record)."""
+    one gzip member per record).  A truncated or corrupt member SALVAGES
+    everything decompressed so far instead of raising: at corpus scale a
+    handful of damaged shards is routine, and an exception here would
+    escape the Arrow UDF and fail the whole task (4 retries, then the job)
+    for one bad member."""
+    import zlib
+
     out = io.BytesIO()
-    with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gz:
-        # GzipFile reads across concatenated members transparently
-        while True:
-            chunk = gz.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
+    data = raw
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)  # one gzip member
+        try:
+            out.write(d.decompress(data))
+        except zlib.error:
+            break  # corrupt member: keep everything before it
+        if not d.eof:
+            break  # truncated final member: partial bytes already salvaged
+        data = d.unused_data
     return out.getvalue()
 
 
 def iter_warc_records(raw: bytes):
     """Yield WarcRecord for every record in a WARC (or .warc.gz) byte string.
 
-    Malformed trailing garbage ends iteration (same forgiving posture as the
-    reference's per-record try/except, 02_extract_newscrawl.py:33-35)."""
+    Malformed regions RESYNC to the next ``WARC/`` magic instead of
+    abandoning the rest of the shard (the reference's per-record try/except
+    posture, 02_extract_newscrawl.py:33-35, extended with salvage: at CC
+    scale a few damaged records per shard is routine and dropping the
+    remaining thousands for one of them is a real data loss)."""
+
+    def _resync(buf: bytes, start: int) -> int:
+        idx = buf.find(b"WARC/", start)
+        return idx if idx >= 0 else len(buf)
+
     if raw[:2] == b"\x1f\x8b":
         raw = _gunzip_all(raw)
     pos, n = 0, len(raw)
@@ -100,13 +117,17 @@ def iter_warc_records(raw: bytes):
             break
         version, headers = _parse_header_block(raw[pos:end_hdr])
         if not version.startswith("WARC/"):
-            break
+            pos = _resync(raw, pos + 1)  # strictly advances: no infinite loop
+            continue
         try:
             clen = int(headers.get("content-length", "0"))
         except ValueError:
-            break
+            pos = _resync(raw, pos + 1)
+            continue
         body_start = end_hdr + 4
         payload = raw[body_start : body_start + clen]
+        if len(payload) < clen:
+            break  # truncated tail record: don't yield a mangled body
         pos = body_start + clen
         rec_type = headers.get("warc-type", "")
         content_type = headers.get("content-type", "")

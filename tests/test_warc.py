@@ -91,3 +91,38 @@ def test_content_length_header_is_full_http_payload():
     clen = int(parsed.header("Content-Length"))
     assert clen > 100  # includes the HTTP header block
     assert parsed.content == body
+
+
+def test_warc_salvage_corrupt_members_and_garbage():
+    """Damaged shards are routine at corpus scale: a truncated gzip member
+    salvages every record decompressed before it, and garbage bytes between
+    records resync to the next WARC magic instead of dropping the rest of
+    the shard."""
+    from commoncrawlnewsdataset_spark.sources.warc import (
+        build_response_record,
+        iter_warc_records,
+    )
+
+    recs = [
+        build_response_record(
+            f"https://s.example/{i}", "2024-01-01T00:00:00Z",
+            f"<urn:uuid:{i}>", f"body {i}".encode(), gzip_member=True,
+        )
+        for i in range(4)
+    ]
+    # truncated final member: first three records survive
+    blob = b"".join(recs[:3]) + recs[3][: len(recs[3]) // 2]
+    got = [r.header("WARC-Record-ID") for r in iter_warc_records(blob)]
+    assert got == ["<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>"]
+
+    # garbage between plain-text records: resync recovers the tail
+    plain = [
+        build_response_record(
+            f"https://s.example/{i}", "2024-01-01T00:00:00Z",
+            f"<urn:uuid:p{i}>", f"body {i}".encode(),
+        )
+        for i in range(3)
+    ]
+    dirty = plain[0] + b"\x00\xffgarbage without crlf structure" + plain[1] + plain[2]
+    got = [r.header("WARC-Record-ID") for r in iter_warc_records(dirty)]
+    assert got == ["<urn:uuid:p0>", "<urn:uuid:p1>", "<urn:uuid:p2>"]

@@ -71,6 +71,79 @@ def politeness_rank(
     )
 
 
+def politeness_debt_batch(
+    requests: DataFrame,
+    host_col: str = "host",
+    batch_col: str = "batch",
+    crawl_delays: dict[str, float] | None = None,
+    batch_seconds: float = 60.0,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Batch twin of streaming.ingest.politeness_debt — the SAME per-host
+    crawl-delay debt recurrence
+
+        allowed_i = floor((batch_seconds + carry_{i-1}) / delay)
+        granted_i = min(n_i, allowed_i)
+        carry_i   = min(batch_seconds, batch_seconds + carry_{i-1}
+                                       - granted_i * delay)
+
+    folded entirely JVM-side: per-batch counts groupBy, then ONE
+    ``F.aggregate`` left-fold over the batch-ordered counts per host (the
+    recurrence is sequential in i, but hosts are independent — exactly the
+    per-key parallelism Spark gives for free).  No Python, no iteration:
+    two shuffles total for any number of batches.  The DuckDB oracle
+    mirrors the fold with list_reduce, value-checking the debt arithmetic
+    cross-engine; the streaming operator is separately proven ≡ this
+    recurrence by the stream-vs-replay test."""
+    B = float(batch_seconds)
+    if crawl_delays:
+        m = F.create_map(
+            *[x for h, d in sorted(crawl_delays.items()) for x in (F.lit(h), F.lit(float(d)))]
+        )
+        delay = F.coalesce(m[F.col(host_col)], F.lit(float(default_delay)))
+    else:
+        delay = F.lit(float(default_delay))
+
+    counts = requests.groupBy(
+        F.col(host_col).alias("host"), F.col(batch_col).alias("b")
+    ).agg(F.count("*").alias("n"))
+    seqs = counts.groupBy("host").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "n"))), lambda s: s["n"]
+        ).alias("seq")
+    ).withColumn("_delay", delay)
+
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("req"),
+        F.lit(0).cast("long").alias("gr"),
+        F.lit(0.0).alias("carry"),
+        F.lit(0).cast("long").alias("seen"),
+    )
+
+    def step(acc, n):
+        d = F.col("_delay")
+        allowed = F.floor((F.lit(B) + acc["carry"]) / d)
+        g = F.least(n, allowed)
+        return F.struct(
+            (acc["req"] + n).alias("req"),
+            (acc["gr"] + g).alias("gr"),
+            F.least(F.lit(B), F.lit(B) + acc["carry"] - g * d).alias("carry"),
+            (acc["seen"] + 1).alias("seen"),
+        )
+
+    folded = seqs.select(
+        "host", F.aggregate(F.col("seq"), acc0, step).alias("f")
+    )
+    return folded.select(
+        "host",
+        F.col("f.req").alias("n_requested"),
+        F.col("f.gr").alias("n_granted"),
+        (F.col("f.req") - F.col("f.gr")).alias("n_deferred"),
+        F.round("f.carry", 6).alias("carry_s"),
+        F.col("f.seen").alias("batches_seen"),
+    )
+
+
 def wave_order(selected: DataFrame) -> DataFrame:
     """Deterministic global fetch order within a wave: interleave hosts by
     per-host rank first (fair scheduling), then the total order columns.

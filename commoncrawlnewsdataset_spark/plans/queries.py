@@ -1952,6 +1952,78 @@ SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM b2
 """
 
 
+DEBT_BATCH_S = 30.0
+DEBT_DELAYS = {"h0.example.org": 10.0, "h1.example.org": 5.0}
+DEBT_DEFAULT = 1.0
+DEBT_NBATCH = 4
+
+
+def q_politeness_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-delay debt over a batch sequence — the recurrence the
+    stateful streaming operator carries across micro-batches, folded
+    JVM-side per host (one F.aggregate, two shuffles for ANY number of
+    batches).  The request log derives from orders (host = customer host,
+    batch = orderkey % 4); slow hosts (h0: 10s delay, h1: 5s vs 30s
+    batches) accumulate real deferrals.  The oracle mirrors the fold with
+    DuckDB list_reduce, so the green row value-checks the debt arithmetic
+    cross-engine; stream ≡ batch is separately pytest-proven."""
+    from commoncrawlnewsdataset_spark.frontier.politeness import politeness_debt_batch
+
+    orders = _t(spark, sf_dir, "orders")
+    req = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        (F.col("o_orderkey") % DEBT_NBATCH).cast("long").alias("batch"),
+    )
+    return politeness_debt_batch(
+        req, "host", "batch", DEBT_DELAYS,
+        batch_seconds=DEBT_BATCH_S, default_delay=DEBT_DEFAULT,
+    )
+
+
+def _oracle_politeness_debt() -> str:
+    cases = " ".join(
+        f"WHEN '{h}' THEN {d}" for h, d in sorted(DEBT_DELAYS.items())
+    )
+    B = DEBT_BATCH_S
+    return f"""
+WITH req AS (
+  SELECT concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+         o_orderkey % {DEBT_NBATCH} AS batch
+  FROM orders
+), c AS (
+  SELECT host, batch, CAST(count(*) AS BIGINT) AS n FROM req GROUP BY host, batch
+), s AS (
+  SELECT host, list(n ORDER BY batch) AS seq,
+         CASE host {cases} ELSE {DEBT_DEFAULT} END AS d
+  FROM c GROUP BY host
+), folded AS (
+  SELECT host, d,
+         list_reduce(
+           list_prepend(
+             struct_pack(req := CAST(0 AS BIGINT), gr := CAST(0 AS BIGINT),
+                         carry := CAST(0.0 AS DOUBLE), seen := CAST(0 AS BIGINT)),
+             list_transform(seq, n ->
+               struct_pack(req := n, gr := CAST(0 AS BIGINT),
+                           carry := CAST(0.0 AS DOUBLE), seen := CAST(0 AS BIGINT)))
+           ),
+           (acc, x) -> struct_pack(
+             req := acc.req + x.req,
+             gr := acc.gr + least(x.req, CAST(floor(({B} + acc.carry) / d) AS BIGINT)),
+             carry := least({B}, {B} + acc.carry
+                       - least(x.req, CAST(floor(({B} + acc.carry) / d) AS BIGINT)) * d),
+             seen := acc.seen + 1
+           )
+         ) AS f
+  FROM s
+)
+SELECT host, f.req AS n_requested, f.gr AS n_granted,
+       f.req - f.gr AS n_deferred, round(f.carry, 6) AS carry_s,
+       f.seen AS batches_seen
+FROM folded
+"""
+
+
 PAGERANK_ITER = 3
 PAGERANK_DAMPING = 0.85
 
@@ -2204,6 +2276,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_waves": q_frontier_waves,
         "crawl_order": q_crawl_order,
         "pagerank_hosts": q_pagerank_hosts,
+        "politeness_debt": q_politeness_debt,
         "crawl_corpus_pipeline": q_crawl_corpus_pipeline,
         # ingestion
         "warc_scan": q_warc_scan,
@@ -2268,6 +2341,7 @@ def oracle_sqls() -> dict[str, str]:
         "frontier_waves": ORACLE_FRONTIER_WAVES,
         "crawl_order": _oracle_crawl_order(),
         "pagerank_hosts": _oracle_pagerank(),
+        "politeness_debt": _oracle_politeness_debt(),
         "crawl_corpus_pipeline": _oracle_crawl_corpus(),
         "warc_scan": ORACLE_WARC_SCAN,
     }

@@ -687,3 +687,35 @@ def test_reprioritize_with_pagerank_scores(spark, tmp_path):
     by_host = {r["host"]: r["priority"] for r in sel}
     assert (by_host["h2.example.org"] > by_host["h1.example.org"]
             > by_host["h0.example.org"])
+
+
+def test_politeness_debt_batch_fold(spark):
+    """The JVM-side F.aggregate fold computes the debt recurrence exactly
+    (hand-replayed), including banked credit raising a later allowance."""
+    from commoncrawlnewsdataset_spark.frontier.politeness import politeness_debt_batch
+
+    rows = [("slow.example", b, i) for b, n in [(0, 5), (1, 1), (2, 2), (3, 7)]
+            for i in range(n)]
+    rows += [("fast.example", b, i) for b, n in [(0, 10), (1, 40)] for i in range(n)]
+    req = spark.createDataFrame(rows, ["host", "batch", "i"])
+    out = {r["host"]: r.asDict() for r in politeness_debt_batch(
+        req, "host", "batch", {"slow.example": 10.0},
+        batch_seconds=30.0, default_delay=1.0).collect()}
+
+    def replay(ns, delay):
+        carry, req_c, gr = 0.0, 0, 0
+        for n in ns:
+            allowed = int((30.0 + carry) // delay)
+            g = min(n, allowed)
+            carry = min(30.0, 30.0 + carry - g * delay)
+            req_c += n
+            gr += g
+        return req_c, gr, carry
+
+    r, g, c = replay([5, 1, 2, 7], 10.0)
+    s = out["slow.example"]
+    assert (s["n_requested"], s["n_granted"], s["carry_s"]) == (r, g, c)
+    assert s["n_deferred"] == r - g > 0  # debt actually bit
+    r, g, c = replay([10, 40], 1.0)
+    f = out["fast.example"]
+    assert (f["n_requested"], f["n_granted"], f["n_deferred"]) == (r, g, 0)

@@ -340,6 +340,37 @@ class WaveRunner:
                             "n_selected": 0, "n_fetched": 0, "n_failed": 0})
         return n
 
+    def requeue_failed(self, max_attempts: int = 10) -> int:
+        """Second-chance scheduling: move failed urls whose CUMULATIVE fetch
+        attempts are below ``max_attempts`` back to pending as a new delta
+        (latest-wins) — the next wave's politeness selection retries them.
+        Attempts accumulate across waves (the fetch stage adds each wave's
+        attempts to the prior count), so repeated requeue calls converge:
+        a persistently dead url exhausts its budget and stays failed.  The
+        reference never retries across runs (backoff only inside one
+        download loop, 01_download_newscrawl.py:51-69); production crawls
+        re-queue transient failures at wave granularity.  Snapshotted like
+        any wave: resumable, time-travelable, expirable."""
+        wave = self.last_wave() + 1
+        retry = self.state().filter(
+            (F.col("status") == "failed") & (F.col("attempts") < max_attempts)
+        )
+        delta = retry.select(
+            "url", "url_hash", "host",
+            F.lit("pending").alias("status"),
+            F.col("priority").cast("double"),
+            F.lit(wave).alias("wave"),
+            "attempts",
+            F.col("discovered_ts").cast("timestamp"),
+        )
+        self._write_delta(delta, wave)
+        n = self.spark.read.parquet(
+            os.path.join(self._wave_dir(wave), "delta.parquet")
+        ).count()
+        self._commit(wave, {"wave": wave, "requeued": n, "done": False,
+                            "n_selected": 0, "n_fetched": 0, "n_failed": 0})
+        return n
+
     def compact(self, upto_wave: int | None = None) -> int:
         """Materialize the resolved state through `upto_wave` (default: last
         committed) as a checkpoint.  Iceberg analog: snapshot expiration +
@@ -466,7 +497,10 @@ class WaveRunner:
                         bodies.append(res[3])
                 out = pdf[["url", "url_hash", "host", "priority", "discovered_ts"]].copy()
                 out["ok"] = ok
-                out["attempts"] = att
+                # CUMULATIVE attempts: prior attempts (non-zero only for
+                # re-queued failures) ride through the UDF, so requeue_failed
+                # can bound total retries across waves
+                out["attempts"] = pdf["attempts"].to_numpy() + att
                 out["content_length"] = clen
                 if keep_payload:
                     out["html"] = bodies
@@ -479,7 +513,10 @@ class WaveRunner:
         parallelism = self.spark.sparkContext.defaultParallelism * self.fetch_tasks_per_core
         schema = FETCH_PAGE_SCHEMA if keep_payload else FETCH_RESULT_SCHEMA
         return (
-            selected.select("url", "url_hash", "host", "priority", "discovered_ts")
+            selected.select(
+                "url", "url_hash", "host", "priority", "discovered_ts",
+                F.col("attempts").cast("int").alias("attempts"),
+            )
             .repartition(parallelism)
             .mapInPandas(gen, schema)
         )

@@ -1952,6 +1952,53 @@ SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM b2
 """
 
 
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via sitemap discovery: synthesize one sitemap XML per host from
+    orders (urls + lastmod dates, deterministic order), parse it back with
+    the column-expression sitemap reader, and emit the seed rows.  The
+    oracle computes the expected seeds RELATIONALLY (straight from orders),
+    so a green row certifies the synthesize→parse round trip — i.e. the
+    parser extracts exactly the urls and lastmods the XML encodes."""
+    from commoncrawlnewsdataset_spark.frontier.sitemaps import sitemap_seed_urls
+
+    orders = _t(spark, sf_dir, "orders")
+    entry = F.concat(
+        F.lit("<url><loc>"), F.expr(_URL_SQL), F.lit("</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("</lastmod></url>"),
+    )
+    xml = (
+        orders.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                     F.lit(".example.org")).alias("host"),
+            F.struct(F.col("o_orderkey").alias("k"), entry.alias("e")).alias("s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")), lambda x: x["e"]),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    return sitemap_seed_urls(xml).select(
+        "host", "url", "priority",
+        F.col("discovered_ts").cast("timestamp").alias("discovered_ts"),
+    )
+
+
+ORACLE_SITEMAP_SEEDS = f"""
+SELECT concat('h', CAST(o_custkey % 50 AS VARCHAR), '.example.org') AS host,
+       {_URL_DUCK} AS url,
+       CAST(0.5 AS DOUBLE) AS priority,
+       CAST(o_orderdate AS TIMESTAMP) AS discovered_ts
+FROM orders
+"""
+
+
 DEBT_BATCH_S = 30.0
 DEBT_DELAYS = {"h0.example.org": 10.0, "h1.example.org": 5.0}
 DEBT_DEFAULT = 1.0
@@ -2277,6 +2324,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_order": q_crawl_order,
         "pagerank_hosts": q_pagerank_hosts,
         "politeness_debt": q_politeness_debt,
+        "sitemap_seeds": q_sitemap_seeds,
         "crawl_corpus_pipeline": q_crawl_corpus_pipeline,
         # ingestion
         "warc_scan": q_warc_scan,
@@ -2342,6 +2390,7 @@ def oracle_sqls() -> dict[str, str]:
         "crawl_order": _oracle_crawl_order(),
         "pagerank_hosts": _oracle_pagerank(),
         "politeness_debt": _oracle_politeness_debt(),
+        "sitemap_seeds": ORACLE_SITEMAP_SEEDS,
         "crawl_corpus_pipeline": _oracle_crawl_corpus(),
         "warc_scan": ORACLE_WARC_SCAN,
     }

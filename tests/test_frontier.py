@@ -719,3 +719,35 @@ def test_politeness_debt_batch_fold(spark):
     r, g, c = replay([10, 40], 1.0)
     f = out["fast.example"]
     assert (f["n_requested"], f["n_granted"], f["n_deferred"]) == (r, g, 0)
+
+
+def test_requeue_failed_bounded_retries(spark, tmp_path):
+    """Second-chance scheduling: failed urls go back to pending and are
+    retried by later waves, attempts accumulate ACROSS waves, and a
+    persistently dead url exhausts max_attempts and stays failed."""
+    def flaky(url, max_retries):
+        # /bad/ urls always fail after 2 attempts; everything else succeeds
+        return ("/bad/" not in url, 2, 100)
+
+    urls = [f"https://h0.example.org/{'bad' if i % 4 == 0 else 'ok'}/{i:03d}"
+            for i in range(24)]
+    runner = WaveRunner(spark, str(tmp_path / "rq"), per_host_budget=50,
+                        nsalt=2, use_robots=False, fetcher=flaky)
+    runner.load_seeds(_parity_seeds(spark, urls))
+    runner.run_wave()
+    failed = runner.state().filter("status = 'failed'")
+    assert failed.count() == 6
+    assert {r["attempts"] for r in failed.collect()} == {2}
+
+    assert runner.requeue_failed(max_attempts=5) == 6
+    assert runner.state().filter("status = 'pending'").count() == 6
+    runner.run_wave()  # retry: fails again, attempts now 2 + 2 = 4
+    failed = runner.state().filter("status = 'failed'")
+    assert {r["attempts"] for r in failed.collect()} == {4}
+
+    assert runner.requeue_failed(max_attempts=5) == 6  # 4 < 5: one more chance
+    runner.run_wave()  # attempts 6
+    assert {r["attempts"] for r in runner.state().filter("status = 'failed'").collect()} == {6}
+    assert runner.requeue_failed(max_attempts=5) == 0  # budget exhausted
+    # successes were never re-fetched
+    assert runner.state().filter("status = 'fetched'").count() == 18

@@ -71,6 +71,40 @@ def politeness_rank(
     )
 
 
+def adaptive_host_budgets(
+    state: DataFrame,
+    wave: int,
+    base_budget: int,
+    min_budget: int = 1,
+) -> DataFrame:
+    """Failure-adaptive per-host budgets (the multiplicative-decrease half
+    of AIMD congestion control, applied to crawl politeness): a host whose
+    last wave failed heavily — overloaded, throttling, or down — gets a
+    proportionally smaller budget next wave,
+
+        budget = max(min_budget, floor(base * (1 - fail_rate_last_wave)))
+
+    while healthy hosts keep the base (recovery is automatic: one good wave
+    resets the rate).  Returns the broadcast-size (host, budget) dimension
+    ``politeness_rank`` already consumes — one tiny aggregate over the last
+    wave's outcomes, no new plumbing."""
+    last = state.filter(
+        (F.col("wave") == wave) & F.col("status").isin("fetched", "failed")
+    )
+    rates = last.groupBy("host").agg(
+        (F.sum((F.col("status") == "failed").cast("int")) / F.count("*")).alias(
+            "fail_rate"
+        )
+    )
+    return rates.select(
+        "host",
+        F.greatest(
+            F.lit(min_budget),
+            F.floor(base_budget * (1 - F.col("fail_rate"))).cast("int"),
+        ).cast("int").alias("budget"),
+    )
+
+
 def politeness_debt_batch(
     requests: DataFrame,
     host_col: str = "host",

@@ -194,6 +194,10 @@ class WaveRunner:
     # fetch tasks per core: fine-grained tasks pack the tail of the stage
     # (a 2-round schedule of coarse tasks leaves cores idle at the end)
     fetch_tasks_per_core: int = 8
+    # AIMD politeness: shrink a host's next-wave budget in proportion to its
+    # last-wave failure rate (politeness.adaptive_host_budgets); combined
+    # with crawl-delay budgets by LEAST when both apply
+    adaptive_budgets: bool = False
     # when set, fetched payloads are persisted per wave as parquet under this
     # dir (input_hint pages shape via .pages()); the wave's delta/metrics are
     # then derived by RE-READING the sink (payload column pruned) so the
@@ -461,6 +465,25 @@ class WaveRunner:
                         F.lit(1),
                         F.floor(F.lit(self.wave_seconds) / F.col("crawl_delay_s")),
                     ).cast("int").alias("budget"),
+                )
+        if self.adaptive_budgets and self.last_wave() >= 1:
+            from commoncrawlnewsdataset_spark.frontier.politeness import (
+                adaptive_host_budgets,
+            )
+
+            ab = adaptive_host_budgets(state, self.last_wave(), self.per_host_budget)
+            if host_budgets is None:
+                host_budgets = ab
+            else:  # both constraints apply: the stricter one wins per host
+                host_budgets = (
+                    host_budgets.withColumnRenamed("budget", "_b1")
+                    .join(ab.withColumnRenamed("budget", "_b2"), "host", "outer")
+                    .select(
+                        "host",
+                        F.least(
+                            F.coalesce("_b1", "_b2"), F.coalesce("_b2", "_b1")
+                        ).alias("budget"),
+                    )
                 )
         fetched = state.filter(F.col("status") == "fetched").select("url")
         unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)

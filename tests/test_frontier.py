@@ -751,3 +751,23 @@ def test_requeue_failed_bounded_retries(spark, tmp_path):
     assert runner.requeue_failed(max_attempts=5) == 0  # budget exhausted
     # successes were never re-fetched
     assert runner.state().filter("status = 'fetched'").count() == 18
+
+
+def test_adaptive_budgets_back_off_failing_hosts(spark, tmp_path):
+    """AIMD politeness: a host that failed its whole last wave gets its
+    next-wave budget cut to min_budget, healthy hosts keep the base."""
+    def flaky(url, max_retries):
+        return ("sick" not in url, 2, 100)
+
+    urls = [f"https://{h}.example.org/a/{i:03d}"
+            for h in ("good", "sick") for i in range(12)]
+    runner = WaveRunner(spark, str(tmp_path / "ad"), per_host_budget=4,
+                        nsalt=2, use_robots=False, fetcher=flaky,
+                        adaptive_budgets=True)
+    runner.load_seeds(_parity_seeds(spark, urls))
+    runner.run_wave()  # wave 1: both hosts get 4; sick fails all 4
+    runner.run_wave()  # wave 2: sick's budget = max(1, floor(4*(1-1))) = 1
+    w2 = spark.read.parquet(str(tmp_path / "ad" / "wave=00002" / "delta.parquet"))
+    by_host = {r["host"]: r["n"] for r in
+               w2.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert by_host == {"good.example.org": 4, "sick.example.org": 1}

@@ -159,3 +159,19 @@ def test_canonicalize_url_idempotent_batch(spark):
             assert netloc.endswith(":8080"), r
         if scheme == "http" and ":80" in r["url"].split("#")[0].split("/")[2]:
             assert not netloc.endswith(":80"), r
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_robots_parser_never_crashes(body):
+    """parse_robots_txt over arbitrary text: never raises, and every emitted
+    rule row is well-formed (host echoed, boolean verdict, delay None or
+    float) — a crawler parses millions of hostile robots.txt files."""
+    from commoncrawlnewsdataset_spark.frontier.robots import parse_robots_txt
+
+    rows = parse_robots_txt("h.example", body, agent="ccbot")
+    for r in rows:
+        assert r["host"] == "h.example"
+        assert isinstance(r["allowed"], bool)
+        assert r["crawl_delay_s"] is None or isinstance(r["crawl_delay_s"], float)
+        assert isinstance(r["path_prefix"], str)

@@ -174,6 +174,48 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FRAMES = 4
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: video payloads fan out to one row per
+    sampled frame INSIDE the scan stage (mapInPandas yields N rows per
+    input; the binary never shuffles).  Decode stubbed as sha256(payload
+    ':' idx) — deterministic, so the DuckDB oracle value-checks the
+    fan-out, the uniform timestamps, and the per-frame signatures."""
+    from commoncrawlnewsdataset_spark.operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.lit(900) + F.col("doc_id")).cast("long").alias("duration_ms"),
+    )
+    out = sample_frames(media, n_frames=N_FRAMES)
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        "ts_ms", "frame_sha",
+    )
+
+
+ORACLE_FRAME_SAMPLES = f"""
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(floor((900 + doc_id) * i / {N_FRAMES}.0) AS BIGINT) AS ts_ms,
+       sha256(coalesce(text, '') || ':' || CAST(i AS VARCHAR)) AS frame_sha
+FROM documents CROSS JOIN unnest(generate_series(0, {N_FRAMES - 1})) AS t(i)
+WHERE doc_id < 200 AND CAST(doc_id % 3 AS INT) = 2
+"""
+
+
 def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 NER stage (iterator pandas UDF, model loaded once per worker)."""
     from commoncrawlnewsdataset_spark.ner import with_ner
@@ -200,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pq_ann_topk": q_pq_ann_topk,
             "opq_ann_topk": q_opq_ann_topk,
             "media_features": q_media_features,
+            "frame_samples": q_frame_samples,
             "ner_gazetteer": q_ner_gazetteer,
         }
     )
@@ -234,4 +277,5 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(oracle_sqls())
     out["media_features"] = ORACLE_MEDIA_FEATURES
+    out["frame_samples"] = ORACLE_FRAME_SAMPLES
     return out

@@ -61,6 +61,49 @@ def decode_stub(payload: bytes, kind: str, dim: int = 8) -> list[float]:
     return [h[i] / 256.0 for i in range(dim)]
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic uniform frame sampling for video payloads: one output
+    row per (video, frame index), timestamp = floor(duration_ms * i / n) —
+    the 1→N row fan-out happens INSIDE the scan stage (mapInPandas yields
+    more rows than it consumes), so the binary payload is read once and
+    never shuffled; only per-frame signatures leave the stage.
+
+    The frame DECODE is stubbed (no pyav/ffmpeg in this container) as
+    sha256(payload ':' idx) — deterministic and cross-engine reproducible,
+    so the driver ORACLE value-checks the fan-out, timestamps, and
+    signature plumbing; production swaps the stub for a keyframe grab with
+    the identical signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [], "frame_sha": []
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(int((dur or 0) * i // n_frames))
+                    out["frame_sha"].append(
+                        hashlib.sha256((payload or b"") + f":{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter(media["kind"] == "video").mapInPandas(gen, FRAMES_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: payload never leaves the scan stage."""
 

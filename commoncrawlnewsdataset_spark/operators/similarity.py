@@ -198,6 +198,19 @@ def write_ivf_index(
     ).partitionBy("list").parquet(path)
 
 
+def ivf_append(
+    emb_new: DataFrame, path: str, centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors against the
+    EXISTING centroids and append their rows to the list-partitioned layout —
+    no rebuild, and probes see old + new vectors through the same
+    partition-pruned read (Iceberg analog: a partitioned append commit).
+    Centroid drift from sustained appends is handled by periodic re-train +
+    full rewrite, exactly like compaction in the wave log."""
+    write_ivf_index(emb_new, path, centroids, vec_col, mode="append")
+
+
 def ivf_probe_read(
     spark, path: str, query_vec: list[float], centroids: list[list[float]],
     k: int = 10, n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -670,3 +670,39 @@ def test_dedup_store_persists_across_batches(spark, tmp_path):
     b3 = dedup_against_store(batch([(20, "gamma"), (21, "delta"), (22, "epsilon")]),
                              store, "id", "text")
     assert {r["id"] for r in b3.collect()} == {22}
+
+
+def test_ivf_append_incremental_index(spark, tmp_path):
+    """Incremental IVF maintenance: appending new vectors to a written index
+    (no rebuild) yields probes identical to a full rebuild over the union."""
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        ivf_append,
+        ivf_probe_read,
+        kmeans_refine,
+        pick_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(400, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    old, new = df.filter("vec_id < 200"), df.filter("vec_id >= 200")
+    cents = kmeans_refine(old, pick_centroids(old, 8), n_iter=2)
+
+    inc = str(tmp_path / "inc")
+    write_ivf_index(old, inc, cents)
+    ivf_append(new, inc, cents)
+    full = str(tmp_path / "full")
+    write_ivf_index(df, full, cents)
+
+    q = [float(x) for x in vecs[7]]
+    got = [(r["vec_id"], r["score"]) for r in
+           ivf_probe_read(spark, inc, q, cents, k=15, n_probe=3).collect()]
+    want = [(r["vec_id"], r["score"]) for r in
+            ivf_probe_read(spark, full, q, cents, k=15, n_probe=3).collect()]
+    assert got == want
+    # appended vectors are actually visible (some id >= 200 in the index)
+    assert spark.read.parquet(inc).filter("vec_id >= 200").count() == 200

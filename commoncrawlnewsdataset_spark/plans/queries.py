@@ -1999,6 +1999,38 @@ FROM orders
 """
 
 
+GATE_PCTL = 0.10
+
+
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gating: drop documents below their LANGUAGE's 10th
+    length percentile — thresholds learned from the corpus itself instead of
+    a fixed constant (fixed cutoffs over- or under-prune across languages
+    with different length distributions).  Exact percentile per group
+    (tiny: one row per language) broadcast back against the corpus; both
+    engines interpolate percentiles identically (proven by the
+    length_quantiles row), so the kept SET value-checks cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    thr = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(GATE_PCTL)).alias("thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_chars") >= F.col("thr"))
+        .select("lang", "doc_id", "n_chars", F.round("thr", 4).alias("thr"))
+    )
+
+
+ORACLE_QUANTILE_GATE = f"""
+WITH thr AS (
+  SELECT lang, quantile_cont(n_chars, {GATE_PCTL}) AS t FROM documents GROUP BY lang
+)
+SELECT d.lang, d.doc_id, d.n_chars, round(t, 4) AS thr
+FROM documents d JOIN thr USING (lang)
+WHERE d.n_chars >= t
+"""
+
+
 DEBT_BATCH_S = 30.0
 DEBT_DELAYS = {"h0.example.org": 10.0, "h1.example.org": 5.0}
 DEBT_DEFAULT = 1.0
@@ -2276,6 +2308,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus / text analysis
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
+        "quantile_gate": q_quantile_gate,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -2344,6 +2377,7 @@ def oracle_sqls() -> dict[str, str]:
         "sessionize": ORACLE_SESSIONIZE,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_filter": ORACLE_QUALITY_FILTER,
+        "quantile_gate": ORACLE_QUANTILE_GATE,
         "lang_id": _oracle_langid(),
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_score": ORACLE_QUALITY_SCORE,

@@ -208,6 +208,34 @@ def politeness_debt(
     )
 
 
+def stream_dedup_corpus_to(
+    pages_stream: DataFrame, store_dir: str, sink_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Continuous corpus building with CROSS-BATCH dedup: each micro-batch
+    runs the batch extraction spine, then drops content whose fingerprint
+    was ingested by ANY earlier micro-batch (or earlier run — the
+    fingerprint log under ``store_dir`` persists) before appending to the
+    sink.  foreachBatch reuses the exact batch plans; at-least-once
+    delivery + content-keyed dedup gives effectively-once corpus rows (a
+    replayed batch re-drops against the fingerprint log)."""
+    from commoncrawlnewsdataset_spark.functions.extract import extract_articles
+    from commoncrawlnewsdataset_spark.operators.dedup import dedup_against_store
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        arts = extract_articles(batch_df)
+        kept = dedup_against_store(arts, store_dir, "url", "text")
+        kept.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract_to(
     pages_stream: DataFrame, sink_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

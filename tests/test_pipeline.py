@@ -325,3 +325,57 @@ def test_politeness_debt_stream_equals_batch_replay(spark, tmp_path):
     assert got["h0.example.org"][2] > 0
     per_batch_base = int(BATCH_S // DELAYS["h0.example.org"])
     assert got["h0.example.org"][1] > per_batch_base * 3  # credit was spent
+
+
+def test_stream_dedup_corpus_across_batches(spark, tmp_path):
+    """Streaming incremental corpus: content duplicated ACROSS micro-batches
+    is dropped by the persistent fingerprint store, within-batch dups by the
+    extraction spine's D1 dedup — effectively-once corpus rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawlnewsdataset_spark.streaming.ingest import (
+        stream_dedup_corpus_to,
+        stream_pages,
+    )
+
+    def page(url, body):
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        return (url, 0, html, None, None)
+
+    batches = [
+        [page("https://h.example/u1", "alpha body"),
+         page("https://h.example/u2", "alpha body"),      # in-batch dup
+         page("https://h.example/u3", "beta body")],
+        [page("https://h.example/u4", "alpha body"),      # cross-batch dup
+         page("https://h.example/u5", "gamma body")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {k: pa.array(v, schema.field(k).type)
+             for k, v in zip(schema.names, map(list, zip(*rows)))},
+            schema=schema,
+        )
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = stream_dedup_corpus_to(
+        stream_pages(spark, src, max_files_per_trigger=1),
+        str(tmp_path / "store"), str(tmp_path / "sink"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "sink")).select("url", "text").collect()
+    got = {(r["url"], r["text"]) for r in rows}
+    assert got == {
+        ("https://h.example/u1", "alpha body"),
+        ("https://h.example/u3", "beta body"),
+        ("https://h.example/u5", "gamma body"),
+    }

@@ -633,7 +633,17 @@ class WaveRunner:
         n_discovered = 0
         delta = outcome
         if self.link_expander is not None:
-            discovered = self.link_expander(outcome.filter(F.col("status") == "fetched"))
+            # with a page sink the expander sees the sink-backed rows WITH
+            # html, enabling real link discovery from page content
+            # (frontier.links.make_html_link_expander); without one it sees
+            # the plain outcomes (url/priority/ts), as before
+            if self.page_sink_dir is not None:
+                src_rows = results.filter(F.col("ok")).withColumn(
+                    "status", F.lit("fetched")
+                )
+            else:
+                src_rows = outcome.filter(F.col("status") == "fetched")
+            discovered = self.link_expander(src_rows)
             keyed = with_frontier_keys(discovered)
             known = state.select("url").unionByName(outcome.select("url"))
             # Deterministic representative per discovered url (NOT

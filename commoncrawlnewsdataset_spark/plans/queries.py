@@ -1999,6 +1999,42 @@ FROM orders
 """
 
 
+def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-stage <a href> link extraction value-checked: synthesize one page
+    per order carrying a root-relative link, an UPPERCASE absolute
+    cross-host link, and a mailto: (dropped), parse with
+    frontier.links.extract_links, and let the oracle recompute the expected
+    edge set relationally — certifying resolution policy (origin join,
+    scheme filter) cross-engine."""
+    from commoncrawlnewsdataset_spark.frontier.links import extract_links
+
+    orders = _t(spark, sf_dir, "orders")
+    html = F.concat(
+        F.lit('<html><body><a href="/next/'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('">n</a><A HREF=\'https://x'),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(".example.net/p'>m</a>"),
+        F.lit('<a href="mailto:a@b.example">z</a><p>body</p></body></html>'),
+    )
+    pages = orders.select(
+        F.expr(_URL_SQL).alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return extract_links(pages)
+
+
+ORACLE_LINK_EDGES = f"""
+SELECT {_URL_DUCK} AS src,
+       concat('https://h', CAST(o_custkey % 50 AS VARCHAR),
+              '.example.org/next/', CAST(o_orderkey AS VARCHAR)) AS dst
+FROM orders
+UNION ALL
+SELECT {_URL_DUCK} AS src,
+       concat('https://x', CAST(o_orderkey % 7 AS VARCHAR), '.example.net/p') AS dst
+FROM orders
+"""
+
+
 GATE_PCTL = 0.10
 
 
@@ -2358,6 +2394,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "politeness_debt": q_politeness_debt,
         "sitemap_seeds": q_sitemap_seeds,
+        "link_edges": q_link_edges,
         "crawl_corpus_pipeline": q_crawl_corpus_pipeline,
         # ingestion
         "warc_scan": q_warc_scan,
@@ -2425,6 +2462,7 @@ def oracle_sqls() -> dict[str, str]:
         "pagerank_hosts": _oracle_pagerank(),
         "politeness_debt": _oracle_politeness_debt(),
         "sitemap_seeds": ORACLE_SITEMAP_SEEDS,
+        "link_edges": ORACLE_LINK_EDGES,
         "crawl_corpus_pipeline": _oracle_crawl_corpus(),
         "warc_scan": ORACLE_WARC_SCAN,
     }

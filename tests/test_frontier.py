@@ -771,3 +771,51 @@ def test_adaptive_budgets_back_off_failing_hosts(spark, tmp_path):
     by_host = {r["host"]: r["n"] for r in
                w2.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert by_host == {"good.example.org": 4, "sick.example.org": 1}
+
+
+def test_html_link_discovery_crawl(spark, tmp_path):
+    """The REAL crawl loop: wave N's fetched html is parsed for <a href>
+    links (scan-stage regexp, sink-backed rows) and wave N+1 fetches the
+    discovered urls — BFS over a deterministic 5-page site from a single
+    seed, with relative/protocol-relative resolution and non-http schemes
+    dropped."""
+    from commoncrawlnewsdataset_spark.frontier.links import make_html_link_expander
+
+    site = {
+        "https://w.example/a": ["/b", "https://w.example/c"],
+        "https://w.example/b": ["/c", "/d", "mailto:x@y.example", "#frag"],
+        "https://w.example/c": [],
+        "https://w.example/d": ["//w.example/e"],
+        "https://w.example/e": [],
+    }
+
+    def site_fetch(url, max_retries):
+        links = site.get(url)
+        if links is None:
+            return False, 1, 0, None
+        body = ("<html><body>"
+                + "".join(f'<a href="{x}">x</a>' for x in links)
+                + "<p>page body</p></body></html>")
+        return True, 1, len(body), body.encode()
+
+    runner = WaveRunner(
+        spark, str(tmp_path / "site"), per_host_budget=10, nsalt=2,
+        use_robots=False, fetcher=site_fetch,
+        page_sink_dir=str(tmp_path / "pages"),
+        link_expander=make_html_link_expander(),
+    )
+    runner.load_seeds(_parity_seeds(spark, ["https://w.example/a"]))
+    manifests = runner.run(max_waves=10)
+
+    fetched = {r["url"]: r["wave"] for r in
+               runner.state().filter("status = 'fetched'").collect()}
+    assert set(fetched) == set(site)  # every reachable page crawled
+    # BFS depth: a=1, b/c=2 (linked from a), d=3 (from b), e=4 (from d)
+    assert fetched["https://w.example/a"] == 1
+    assert fetched["https://w.example/b"] == fetched["https://w.example/c"] == 2
+    assert fetched["https://w.example/d"] == 3
+    assert fetched["https://w.example/e"] == 4
+    # mailto/#frag never entered the frontier
+    assert runner.state().filter("url like '%mailto%'").count() == 0
+    waves_run = [m for m in manifests if not m.get("done")]
+    assert len(waves_run) == 4

@@ -117,6 +117,16 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, qv, books, k=20)
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal over the documents table
+    (template/boilerplate detector).  Rows-only by design: DuckDB has no
+    zlib scalar; the signal's behavior is pytest-bounded."""
+    from commoncrawlnewsdataset_spark.functions.quality import with_compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_compression_ratio(docs.select("doc_id", "text")).drop("text")
+
+
 def q_opq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (scale path #4; recall < 1 by design, no SQL oracle): learn an
     orthogonal rotation via alternating Procrustes/PQ on a bounded
@@ -241,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_ann_topk": q_ivf_ann_topk,
             "pq_ann_topk": q_pq_ann_topk,
             "opq_ann_topk": q_opq_ann_topk,
+            "compression_ratio": q_compression_ratio,
             "media_features": q_media_features,
             "frame_samples": q_frame_samples,
             "ner_gazetteer": q_ner_gazetteer,

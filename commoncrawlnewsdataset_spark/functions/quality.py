@@ -7,6 +7,9 @@ brief); all native Column expressions (JVM-side, codegen) so they survive a
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -131,3 +134,32 @@ def repetition_stats(df, id_col: str, text_col: str):
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def with_compression_ratio(df, text_col: str = "text", out_col: str = "compression_ratio"):
+    """zlib-compressibility quality signal: template/boilerplate text
+    compresses far below natural prose, so a low ratio flags machine-
+    generated or highly repetitive documents (complements the Gopher-style
+    repetition gates with one global signal; production filters threshold
+    around ~0.3-0.4 on web text).
+
+    ratio = len(zlib.compress(utf8, level=6)) / len(utf8); 1.0 for empty.
+    Arrow-batched iterator UDF (zlib is C-speed; the batch loop is the only
+    Python).  Deliberately NOT SQL-expressible — DuckDB has no zlib scalar —
+    so the driver check is rows-only and correctness is pytest-bounded."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        for s in batches:
+            yield s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -155,3 +155,24 @@ def test_canonicalize_url(spark):
         "https://presse3.example.com/Artikel/9"
     )
     assert got["https://www.zeit.de/politik/artikel-1"] == "https://www.zeit.de/politik/artikel-1"
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive/templated text compresses far below natural-ish prose;
+    empty text gets the neutral 1.0."""
+    from commoncrawlnewsdataset_spark.functions.quality import with_compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, " ".join(f"word{i} distinct token {i * 7 % 13}" for i in range(200))),
+            (3, ""),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in with_compression_ratio(docs).collect()}
+    assert got[1] < 0.05          # pure template collapses
+    assert got[2] > 3 * got[1]    # varied text compresses far less
+    assert got[3] == 1.0 and got[4] == 1.0

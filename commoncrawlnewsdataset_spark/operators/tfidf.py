@@ -49,3 +49,46 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rn")
     )
+
+
+def unigram_nll_scores(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 1.0
+) -> DataFrame:
+    """CCNet-style LM quality scoring, unigram form: score each document by
+    the mean negative log-probability of its tokens under the corpus's OWN
+    add-alpha-smoothed unigram distribution — unusually high NLL flags
+    gibberish / OOV-heavy text, unusually low flags boilerplate-frequent
+    wording (CCNet buckets on exactly this kind of LM score; the unigram
+    form needs no model artifact and stays fully relational, hence
+    oracle-checkable).
+
+        p(t) = (c_t + alpha) / (N + alpha * V)
+        nll  = -mean_t log p(t) over the document's tokens
+
+    Plan: one explode + one groupBy for the vocabulary, a 1-row corpus
+    total broadcast (kept IN-PLAN via cross join), one join back, one
+    per-doc aggregate.  The token join keys on the token string for oracle
+    parity; at 100 TB key it on xxhash64(token) (8-byte shuffle keys, same
+    trick as ngram_jaccard_pairs)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("N"), F.count("*").cast("double").alias("V")
+    )
+    lp = -F.log(
+        (F.col("c") + F.lit(alpha)) / (F.col("N") + F.lit(alpha) * F.col("V"))
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("nll"),
+        )
+    )

@@ -1999,6 +1999,33 @@ FROM orders
 """
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality score with no model artifact: per-doc mean negative
+    log-prob under the corpus's own smoothed unigram distribution (the
+    relational core of CCNet's perplexity bucketing)."""
+    from commoncrawlnewsdataset_spark.operators.tfidf import unigram_nll_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_nll_scores(docs, "doc_id", "text")
+
+
+ORACLE_UNIGRAM_NLL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((c + 1.0) / (n + v))), 4) AS nll
+FROM toks JOIN vocab USING (tok) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-stage <a href> link extraction value-checked: synthesize one page
     per order carrying a root-relative link, an UPPERCASE absolute
@@ -2364,6 +2391,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_month": q_sample_per_month,
         "length_quantiles": q_length_quantiles,
         "tfidf_topk": q_tfidf_topk,
+        "unigram_nll": q_unigram_nll,
         "pack_chunks": q_pack_chunks,
         "corpus_pipeline": q_corpus_pipeline,
         "doc_source_antijoin": q_doc_source_antijoin,
@@ -2434,6 +2462,7 @@ def oracle_sqls() -> dict[str, str]:
         "sample_per_month": ORACLE_SAMPLE_PER_MONTH,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "tfidf_topk": ORACLE_TFIDF,
+        "unigram_nll": ORACLE_UNIGRAM_NLL,
         "pack_chunks": ORACLE_PACK_CHUNKS,
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,

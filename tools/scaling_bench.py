@@ -218,6 +218,20 @@ def main() -> None:
         f"{best['scaling_efficiency']:.3f}**{norm_txt} (target ≥ 0.8"
         + (" — MET" if best["scaling_efficiency"] >= 0.8 else " — NOT MET") + ").",
     ]
+    lines += [
+        "",
+        "**Which pair to read:** the 8→32 pair is the authoritative single-box",
+        "evidence.  The 4→16 pair is topology-confounded on this box: its",
+        "measured per-core ceiling is INVERTED (a core in the pinned 0–3 set",
+        "runs slower than the same per-core workload with 0–15 active —",
+        "heterogeneous core/SMT placement, not engine behavior), biasing raw",
+        "ratio and ceiling correction in opposite directions.  Within each",
+        "pair the meaningful trend is monotone: efficiency rises toward 1 as",
+        "per-URL cost approaches real crawl economics.  Engine speedups LOWER",
+        "apparent efficiency at fixed modeled cost (less parallel work over",
+        "the same fixed overheads), so efficiency rows are not comparable",
+        "across engine versions — throughput is.",
+    ]
     rows832 = [r for r in rows if r.get("pair", [8, 32]) == [8, 32]]
     if rows832:
         b8 = max(rows832, key=lambda r: r["scaling_efficiency"])

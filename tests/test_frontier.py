@@ -819,3 +819,24 @@ def test_html_link_discovery_crawl(spark, tmp_path):
     assert runner.state().filter("url like '%mailto%'").count() == 0
     waves_run = [m for m in manifests if not m.get("done")]
     assert len(waves_run) == 4
+
+
+def test_bloom_probe_word_array_plan_shape(spark):
+    """Regression lock for the round-3 probe rewrite: the bit tests must be
+    integer ops over the word array (element_at + getbit) — the binary-blob
+    form (substring -> hex -> conv -> pow per test) measured ~30x slower at
+    10^6 candidates and must not come back."""
+    import contextlib
+    import io
+
+    seeds = with_frontier_keys(_seeds_df(spark, 300)).select("url").distinct()
+    fetched = seeds.limit(50)
+    out = filter_unseen(seeds, fetched, use_bloom=True, num_shards=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "getbit" in plan
+    assert "element_at" in plan
+    for slow in ("conv(", "hex(", "power("):
+        assert slow not in plan, f"slow bit-test op {slow} back in the probe plan"

@@ -208,6 +208,62 @@ def politeness_debt(
     )
 
 
+def sessionize_stream(events_stream: DataFrame, gap_s: int = 1800):
+    """Streaming twin of the batch sessionizer (plans.queries.q_sessionize):
+    gap-based sessions per user as a custom stateful operator.  State per
+    user is (last_epoch, current_session_events, n_sessions,
+    max_session_events); each micro-batch's events are sorted by
+    (ts, event_id) inside the group and folded through the same >gap_s
+    break rule the batch window uses, so chronologically-batched input
+    converges to the batch answer exactly (the stream ≡ batch test).
+    Emits running (user_id, n_sessions, max_session_events) in update mode
+    — O(users) state, never O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+    from typing import Iterable
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("max_session_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_epoch", LongType()),
+            StructField("cur_events", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("max_events", LongType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        last, cur, ns, mx = state.get if state.exists else (None, 0, 0, 0)
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.sort_values(["ts", "event_id"])
+        for t in ev["ts"].astype("int64") // 10**9:  # ns epoch -> seconds
+            t = int(t)
+            if last is None or t - last > gap_s:
+                ns += 1
+                cur = 1
+            else:
+                cur += 1
+            mx = max(mx, cur)
+            last = t
+        state.update((last, cur, ns, mx))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [ns], "max_session_events": [mx]}
+        )
+
+    ev = events_stream.select("user_id", "event_id", "ts")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup_corpus_to(
     pages_stream: DataFrame, store_dir: str, sink_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

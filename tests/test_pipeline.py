@@ -379,3 +379,58 @@ def test_stream_dedup_corpus_across_batches(spark, tmp_path):
         ("https://h.example/u3", "beta body"),
         ("https://h.example/u5", "gamma body"),
     }
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Streaming gap-sessionization (stateful, O(users) state) over
+    chronological micro-batches converges to the batch window sessionizer's
+    exact per-user answer on the same events."""
+    import os
+
+    from commoncrawlnewsdataset_spark.plans.queries import q_sessionize
+    from commoncrawlnewsdataset_spark.streaming.ingest import sessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    # two chronological batches (events table is ts-ordered by event_id)
+    for i, part in enumerate([events.filter(F.col("event_id") <= mid),
+                              events.filter(F.col("event_id") > mid)]):
+        part.coalesce(1).write.parquet(str(tmp_path / f"tmp{i}"))
+        f = [x for x in os.listdir(str(tmp_path / f"tmp{i}")) if x.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"tmp{i}" / f), os.path.join(src, f"b{i}.parquet"))
+        os.utime(os.path.join(src, f"b{i}.parquet"),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import Window as W
+
+    latest = (
+        spark.sql("select * from sess")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("n_sessions"),
+                                             F.desc("max_session_events"))))
+        .filter("rn = 1")
+    )
+    got = {(r["user_id"], r["n_sessions"], r["max_session_events"])
+           for r in latest.collect()}
+    want = {(r["user_id"], r["n_sessions"], r["max_session_events"])
+            for r in q_sessionize(spark, sf).collect()}
+    assert got == want and len(want) == 15

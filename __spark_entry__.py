@@ -117,6 +117,22 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, qv, books, k=20)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the corpus token stream (frequency
+    sketch: a few-MB grid regardless of vocabulary size).  Rows-only by
+    design: estimates depend on xxhash64, which DuckDB lacks; the
+    no-under-count / no-missed-heavy-hitter guarantees are property-tested
+    in tests/test_operators.py."""
+    from commoncrawlnewsdataset_spark.operators.dedup import tokens
+    from commoncrawlnewsdataset_spark.operators.sketch import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", k=30, width=4096, depth=4).orderBy(
+        F.desc("est"), "key"
+    )
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compressibility quality signal over the documents table
     (template/boilerplate detector).  Rows-only by design: DuckDB has no
@@ -252,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pq_ann_topk": q_pq_ann_topk,
             "opq_ann_topk": q_opq_ann_topk,
             "compression_ratio": q_compression_ratio,
+            "heavy_hitters": q_heavy_hitters,
             "media_features": q_media_features,
             "frame_samples": q_frame_samples,
             "ner_gazetteer": q_ner_gazetteer,

@@ -706,3 +706,36 @@ def test_ivf_append_incremental_index(spark, tmp_path):
     assert got == want
     # appended vectors are actually visible (some id >= 200 in the index)
     assert spark.read.parquet(inc).filter("vec_id >= 200").count() == 200
+
+
+def test_count_min_guarantees(spark):
+    """Count-min invariants on a skewed corpus: estimates never under-count,
+    tight-width estimates are exact for the heavy keys, and heavy_hitters
+    returns EVERY true heavy hitter (false positives allowed, misses not)."""
+    from commoncrawlnewsdataset_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+        heavy_hitters,
+    )
+
+    # Zipf-ish: key i appears ~3000/i times for i in 1..40 plus a long tail
+    rows = [(f"k{i}",) for i in range(1, 41) for _ in range(3000 // i)]
+    rows += [(f"tail{j}",) for j in range(2000)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(16)
+    n = df.count()
+    exact = {r["key"]: r["c"] for r in df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+
+    sketch = count_min_build(df, "key", width=2048, depth=4)
+    est = {r["key"]: r["est"] for r in count_min_estimate(
+        df.select("key").distinct(), sketch, "key", width=2048, depth=4).collect()}
+    assert est.keys() == exact.keys()
+    assert all(est[k] >= exact[k] for k in exact)          # never under-counts
+    # grid is bounded regardless of cardinality
+    assert sketch.count() <= 2048 * 4
+
+    hh = {r["key"] for r in heavy_hitters(df, "key", k=50, width=2048, depth=4).collect()}
+    thr = max(1, n // 50)
+    true_hh = {k for k, c in exact.items() if c >= thr}
+    assert true_hh <= hh                                   # no missed heavy hitter
+    # false-positive mass is bounded: the candidate set stays far below |keys|
+    assert len(hh) < len(exact) // 4

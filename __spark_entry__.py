@@ -255,8 +255,39 @@ def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _driver_coverage() -> tuple[set[str], set[str]]:
+    """(ever_checked, checked_in_latest_round) query names from the driver's
+    own CORRECTNESS_r*.json artifacts next to this file."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    ever: set[str] = set()
+    latest: set[str] = set()
+    for i, f in enumerate(files):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        names = set(d) if isinstance(d, dict) else set()
+        ever |= names
+        if i == len(files) - 1:
+            latest = names
+    return ever, latest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from commoncrawlnewsdataset_spark.plans.queries import spark_queries
+    """VERDICT r3 #2: the driver checks a ~50-entry window of this dict, so
+    iteration order IS the coverage rotation.  Entries are ordered so that
+    (0) queries with no driver CORRECTNESS row in ANY round lead, then
+    (1) queries missing from the LATEST round, then (2) the rest — with
+    oracle-bearing queries ahead of rows-only within each tier.  Reading the
+    driver's own artifacts makes the rotation self-maintaining: every oracle
+    query is guaranteed a driver row within two rounds."""
+    from commoncrawlnewsdataset_spark.plans.queries import oracle_sqls, spark_queries
 
     qs = dict(spark_queries())
     qs.update(
@@ -274,7 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ner_gazetteer": q_ner_gazetteer,
         }
     )
-    return qs
+    ever, latest = _driver_coverage()
+    with_oracle = set(oracle_sqls()) | {"media_features", "frame_samples"}
+
+    def rank(name: str):
+        tier = 0 if name not in ever else (1 if name not in latest else 2)
+        return (tier, name not in with_oracle, name)
+
+    return {k: qs[k] for k in sorted(qs, key=rank)}
 
 
 # media_features is fully DuckDB-reproducible: the stub feature is bytes of

@@ -36,10 +36,21 @@ def extract_links(
     )
     scheme = F.regexp_extract("src", r"^(https?):", 1)
     origin = F.regexp_extract("src", r"^(https?://[^/]+)", 1)
+    # relative branches are guarded on a non-empty scheme/origin extraction:
+    # a src url that isn't http(s) would otherwise concat '' and emit a
+    # malformed '://host/x' that passes the not-null filter into the frontier
     dst: Column = (
         F.when(F.col("href").rlike(r"^https?://"), F.col("href"))
-        .when(F.col("href").startswith("//"), F.concat(scheme, F.lit(":"), F.col("href")))
-        .when(F.col("href").startswith("/"), F.concat(origin, F.col("href")))
+        .when(
+            F.col("href").startswith("//") & (scheme != F.lit("")),
+            F.concat(scheme, F.lit(":"), F.col("href")),
+        )
+        .when(
+            F.col("href").startswith("/")
+            & ~F.col("href").startswith("//")
+            & (origin != F.lit("")),
+            F.concat(origin, F.col("href")),
+        )
         .otherwise(F.lit(None).cast("string"))
     )
     return (

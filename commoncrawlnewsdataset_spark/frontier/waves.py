@@ -719,12 +719,21 @@ class WaveRunner:
                 break
         return manifests
 
-    def crawl_order(self) -> list[str]:
-        """Total fetch order across committed waves (wave, then wave_seq
-        re-derived from the deterministic ordering contract)."""
-        fetched = (
+    def crawl_order(self) -> DataFrame:
+        """Total fetch order across committed waves as an ORDERED DataFrame
+        (wave, then the deterministic ordering contract: priority DESC,
+        discovered_ts, url) with a global ``seq`` rank.  Returns a DataFrame
+        — never a driver-side list — because at 10^10 urls the order is a
+        dataset, not a value; consumers limit/write it themselves.  The
+        global row_number is a single total order by construction (the sort
+        key is unique per url), evaluated only if the consumer actually asks
+        for ``seq``."""
+        w = Window.orderBy(
+            "wave", F.desc("priority"), F.asc("discovered_ts"), F.asc("url")
+        )
+        return (
             self.state()
             .filter(F.col("status").isin("fetched", "failed"))
-            .orderBy("wave", F.desc("priority"), F.asc("discovered_ts"), F.asc("url"))
+            .select("wave", "priority", "discovered_ts", "url", "status")
+            .withColumn("seq", F.row_number().over(w).cast("long"))
         )
-        return [r["url"] for r in fetched.select("url").collect()]

@@ -393,24 +393,74 @@ def dedup_against_store(
     fingerprints only (16 bytes/doc); when it outgrows a direct anti-join,
     the bloom front (frontier.core.filter_unseen) slots in unchanged —
     same key shape, same no-false-negative contract."""
+    kept = dedup_batch_against_fps(new_docs, fingerprint_log(new_docs.sparkSession, store_dir), id_col, text_col)
+    append_fingerprints(kept, store_dir)
+    return kept.drop("_fp")
+
+
+def fingerprint_log(spark, store_dir: str, epochs: set[int] | None = None) -> DataFrame | None:
+    """The store's fingerprint DataFrame (column ``fp``), or None if empty.
+    With ``epochs`` set, only fingerprints stamped with one of those epoch
+    ids are returned (rows logged before epoch stamping existed — no
+    ``epoch`` column — are always kept: they predate the caller's run)."""
     import os
 
+    log = os.path.join(store_dir, "fingerprints.parquet")
+    if not os.path.isdir(log):
+        return None
+    # mergeSchema: pre-epoch logs and epoch-stamped appends can share a dir
+    fps = spark.read.option("mergeSchema", "true").parquet(log)
+    if epochs is not None and "epoch" in fps.columns:
+        # broadcast semi-join, not isin: a long-lived stream accumulates an
+        # unbounded committed-epoch set and a literal IN list doesn't scale
+        nulls = fps.filter(F.col("epoch").isNull())
+        if epochs:
+            edf = spark.createDataFrame([(int(e),) for e in sorted(epochs)], "epoch long")
+            stamped = fps.filter(F.col("epoch").isNotNull()).join(
+                F.broadcast(edf), "epoch", "left_semi"
+            )
+            fps = nulls.unionByName(stamped)
+        else:
+            fps = nulls
+    return fps.select("fp")
+
+
+def dedup_batch_against_fps(
+    new_docs: DataFrame,
+    seen_fps: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The dedup core WITHOUT the store append: anti-join the batch against
+    ``seen_fps`` (column ``fp``; None = nothing seen), keep the min-id
+    survivor per fingerprint within the batch, and return survivors WITH
+    the ``_fp`` column so the caller can commit fingerprints itself AFTER
+    its own sink write succeeds (ordering matters for effectively-once —
+    see stream_dedup_corpus_to).  localCheckpoint cuts the plan so the
+    caller's sink write + fingerprint append don't re-run the dedup."""
     from commoncrawlnewsdataset_spark.functions.quality import fingerprint_md5
 
-    spark = new_docs.sparkSession
-    log = os.path.join(store_dir, "fingerprints.parquet")
     with_fp = new_docs.withColumn("_fp", fingerprint_md5(F.col(text_col)))
-    if os.path.isdir(log):
-        seen = spark.read.parquet(log).select(F.col("fp").alias("_fp"))
-        fresh = with_fp.join(seen, "_fp", "left_anti")
+    if seen_fps is not None:
+        fresh = with_fp.join(seen_fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
     else:
         fresh = with_fp
     surv = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    # localCheckpoint: the fingerprint append below is an action — without
-    # it the caller's consumption would re-run the whole dedup plan
-    kept = fresh.join(surv, ["_fp", id_col], "left_semi").localCheckpoint()
-    kept.select(F.col("_fp").alias("fp")).write.mode("append").parquet(log)
-    return kept.drop("_fp")
+    return fresh.join(surv, ["_fp", id_col], "left_semi").localCheckpoint()
+
+
+def append_fingerprints(kept: DataFrame, store_dir: str, epoch: int | None = None) -> None:
+    """Append the survivors' fingerprints (from ``_fp``) to the store log,
+    optionally stamped with the writing epoch so readers can gate on sink
+    commit (fingerprint_log(epochs=...))."""
+    import os
+
+    log = os.path.join(store_dir, "fingerprints.parquet")
+    # epoch always written (null for batch appends) so every file in the log
+    # shares one schema; fingerprint_log reads with mergeSchema regardless
+    ep = F.lit(int(epoch)) if epoch is not None else F.lit(None)
+    fps = kept.select(F.col("_fp").alias("fp"), ep.cast("long").alias("epoch"))
+    fps.write.mode("append").parquet(log)
 
 
 # ---------------------------------------------------------------------------
@@ -628,18 +678,7 @@ def dup_clusters(
         .distinct(),
         "edges",
     )
-    done = _committed_rounds()
-    if done:  # resume from the newest committed label spill
-        start = done[-1] + 1
-        labels = spark.read.parquet(
-            os.path.join(checkpoint_dir, f"round={done[-1]:05d}")
-        )
-    else:
-        start = 0
-        labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-
-    converged = False
-    for i in range(start, max_iter):
+    def _step(labels: DataFrame) -> DataFrame:
         msgs = edges.join(
             labels.select(F.col("id").alias("src"), "lbl"), "src"
         ).select(F.col("dst").alias("id"), "lbl")
@@ -648,23 +687,58 @@ def dup_clusters(
         # distances halve each round (lbl is itself a node id; its current
         # label is a valid — and no larger — representative)
         parents = hop.select(F.col("id").alias("lbl"), F.col("lbl").alias("plbl"))
-        new = hop.join(parents, "lbl", "left").select(
+        return hop.join(parents, "lbl", "left").select(
             "id", F.least(F.col("lbl"), F.col("plbl")).alias("lbl")
         )
+
+    def _changed(old: DataFrame, new: DataFrame) -> int:
+        return (
+            new.select("id", F.col("lbl").alias("new_lbl"))
+            .join(old, "id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+
+    converged_marker = (
+        os.path.join(checkpoint_dir, "_CONVERGED") if checkpoint_dir else None
+    )
+    done = _committed_rounds()
+    converged = False
+    if done:  # resume from the newest committed label spill
+        start = done[-1] + 1
+        labels = spark.read.parquet(
+            os.path.join(checkpoint_dir, f"round={done[-1]:05d}")
+        )
+        # Convergence state is NOT implied by round number: the prior run may
+        # have spilled converged labels and died before detecting it — or the
+        # newest spill may BE the final round (start >= max_iter), in which
+        # case the loop body never runs and we'd wrongly raise 'did not
+        # converge' over fully-converged labels.  A durable marker records
+        # detected convergence; without it, one changed-count job re-checks.
+        if converged_marker and os.path.exists(converged_marker):
+            converged = True
+        elif _changed(labels, _step(labels)) == 0:
+            converged = True
+    else:
+        start = 0
+        labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+
+    for i in range(start, max_iter):
+        if converged:
+            break
+        new = _step(labels)
         if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
             new = _persist(new, f"round={i:05d}")
         else:
             new = new.localCheckpoint()
-        changed = (
-            new.select("id", F.col("lbl").alias("new_lbl"))
-            .join(labels, "id")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
+        changed = _changed(labels, new)
         labels = new
         if changed == 0:
             converged = True
             break
+    if converged and converged_marker is not None:
+        with open(converged_marker, "w") as fh:
+            fh.write("converged\n")
     if not converged:
         msg = (
             f"dup_clusters did not converge within max_iter={max_iter} rounds; "

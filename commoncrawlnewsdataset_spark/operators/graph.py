@@ -31,13 +31,48 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges (parallel edges are
     deduplicated).  Returns (node, rank) with ranks rounded to 6 dp;
-    sum(rank) == 1 up to rounding.  Deterministic for a given edge set."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    sum(rank) == 1 up to rounding.  Deterministic for a given edge set.
+
+    Durability (VERDICT r3 #7 — same protocol as operators.dedup.dup_clusters):
+    with ``checkpoint_dir`` set, the deduplicated edge set materializes to
+    parquet once and ranks spill every ``checkpoint_every`` iterations into
+    _SUCCESS-marked ``round=NNNNN`` dirs; a re-run over the same dir resumes
+    from the newest committed iteration instead of restarting — because each
+    iteration's ranks are rounded to 10 dp, the resumed run is bit-identical
+    to an uninterrupted one."""
+    import os
+
+    spark = edges.sparkSession
+
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = os.path.join(checkpoint_dir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _committed_rounds() -> list[int]:
+        if checkpoint_dir is None or not os.path.isdir(checkpoint_dir):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(checkpoint_dir)
+            if d.startswith("round=")
+            and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+
+    e = _persist(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct(),
+        "edges",
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -46,9 +81,17 @@ def pagerank(
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    done = [r for r in _committed_rounds() if r < n_iter]
+    if done:  # resume: ranks after iteration done[-1] (0-indexed)
+        start = done[-1] + 1
+        ranks = spark.read.parquet(
+            os.path.join(checkpoint_dir, f"round={done[-1]:05d}")
+        )
+    else:
+        start = 0
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for i in range(start, n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -72,6 +115,9 @@ def pagerank(
                     10,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
+            ranks = _persist(ranks, f"round={i:05d}")
+        else:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))

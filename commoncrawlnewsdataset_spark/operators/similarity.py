@@ -254,3 +254,135 @@ def topk_with_metadata(
     positionally (Semantic_search_f32.py:39-50, buggy J7); carrying the score
     as a column makes that bug impossible."""
     return articles.select(on, *cols).join(F.broadcast(topk), on=on, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# two-stage coarse-scan + exact-rescore search (VERDICT r3 #3: the >=0.9
+# recall operating point) — the reference's own deployment pattern: its
+# binary/int8 USearch indexes exist to SHORTLIST cheaply, with the f32
+# vectors kept around to rescore (10_vector_database.py:14-30).
+# ---------------------------------------------------------------------------
+
+def pack_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
+    """Sign bits packed ``bits_per_word`` per long -> array<long>, MSB-first
+    (dim=64 -> 2 words = 8 bytes/vector vs 256 for f32).  32 bits/word keeps
+    the fold in non-overflowing long arithmetic (64 would carry into the
+    sign bit, which ANSI mode rejects); the array is meant to be a STORED
+    column so the coarse scan reads only these bytes (column pruning)."""
+    bits = F.transform(vec, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    n_words = F.ceil(F.size(bits) / bits_per_word).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.slice(bits, w * bits_per_word + 1, bits_per_word),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+
+
+def sign_words_of(vec: list[float], bits_per_word: int = 32) -> list[int]:
+    """Driver-side twin of pack_sign_words for the query vector."""
+    bits = [1 if x > 0 else 0 for x in vec]
+    while len(bits) % bits_per_word:
+        bits.append(0)
+    out = []
+    for w in range(0, len(bits), bits_per_word):
+        acc = 0
+        for b in bits[w : w + bits_per_word]:
+            acc = acc * 2 + b
+        out.append(acc)
+    return out
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two array<long> sign-bit words (JVM-side:
+    zip_with + bit_count(xor), whole-stage codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def rescore_exact(
+    emb: DataFrame,
+    shortlist: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 2: exact cosine over the shortlist ids only — the shortlist is
+    tiny and broadcasts, so the rescore is a broadcast semi-join + top-k."""
+    cand = emb.join(F.broadcast(shortlist.select(id_col)), id_col)
+    return brute_force_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def binary_rescore_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 400,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str | None = None,
+) -> DataFrame:
+    """Binary coarse scan (Hamming over packed sign words, dim/8 bytes per
+    vector) -> top-``shortlist`` candidates (TakeOrderedAndProject, no full
+    sort) -> exact cosine rescore.  With ``sig_col`` stored, stage 1 reads
+    32x fewer bytes than the f32 scan at dim=64; recall is governed by
+    ``shortlist`` (see BENCH/ANN.md for the measured recall/cost curve)."""
+    if sig_col is None:
+        df = emb.withColumn("_sig", pack_sign_words(F.col(vec_col)))
+        sig_col = "_sig"
+    else:
+        df = emb
+    qw = F.array(*[F.lit(int(w)) for w in sign_words_of(query_vec)])
+    cand = (
+        df.select(F.col(id_col), hamming_words(F.col(sig_col), qw).alias("hd"))
+        .orderBy("hd", F.col(id_col))
+        .limit(shortlist)
+    )
+    return rescore_exact(emb, cand, query_vec, k, id_col, vec_col)
+
+
+def int8_rescore_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    lo: list[float],
+    hi: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q8_col: str | None = None,
+) -> DataFrame:
+    """int8 coarse scan (integer inner product over calibrated int8 codes,
+    dim bytes per vector = 4x fewer than f32) -> top-``shortlist`` -> exact
+    cosine rescore.  Matches the reference's int8-index + f32-rescore
+    deployment (Semantic_search_int8.py); int8 ranking error is tiny, so
+    recall@10 is ~1.0 at small shortlists (measured in BENCH/ANN.md)."""
+    from commoncrawlnewsdataset_spark.operators.quantize import quantize_int8
+
+    if q8_col is None:
+        df = emb.withColumn("_q8", quantize_int8(F.col(vec_col), lo, hi))
+        q8_col = "_q8"
+    else:
+        df = emb
+
+    def _q(x: float, l: float, h: float) -> int:
+        return int((x - l) / (h - l) * 255.0 - 128.0) if h != l else -128
+
+    q8 = F.array(*[F.lit(_q(x, l, h)) for x, l, h in zip(query_vec, lo, hi)])
+    ip = F.aggregate(
+        F.zip_with(F.col(q8_col), q8, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        df.select(F.col(id_col), ip.alias("ip"))
+        .orderBy(F.desc("ip"), F.col(id_col))
+        .limit(shortlist)
+    )
+    return rescore_exact(emb, cand, query_vec, k, id_col, vec_col)

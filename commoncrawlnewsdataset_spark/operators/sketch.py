@@ -51,15 +51,21 @@ def count_min_estimate(
     seed: int = 0,
 ) -> DataFrame:
     """Adds ``est`` = min over the key's depth cells (never under-counts).
-    The grid broadcasts; per key this is a broadcast join + one min-agg."""
+    The grid broadcasts; per key this is a broadcast join + one min-agg.
+
+    The join is LEFT with absent (never-incremented) cells coalesced to 0:
+    an inner join would *exclude* a key's zero cells from the min (turning
+    "this key was never seen" into an over-estimate from its other,
+    colliding cells) and would drop keys whose cells are ALL absent from
+    the output entirely — the CM contract says those estimate exactly 0."""
     exploded = keys.select(
         F.col(key_col).alias("key"),
         F.explode(_cells(F.col(key_col), width, depth, seed)).alias("s"),
     ).select("key", "s.row", "s.col")
     return (
-        exploded.join(F.broadcast(sketch), ["row", "col"])
+        exploded.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy("key")
-        .agg(F.min("c").cast("long").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )
 
 
@@ -74,11 +80,40 @@ def heavy_hitters(
     """Keys whose count-min estimate is >= N/k.  GUARANTEE (the property the
     tests pin): every TRUE heavy hitter (exact count >= N/k) is returned,
     because estimates never under-count; collisions can add false positives,
-    bounded by the ε = e/width over-count.  Returns (key, est, threshold)."""
+    bounded by the ε = e/width over-count.  Returns (key, est, threshold).
+
+    Candidate generation is MAP-SIDE (no full-cardinality shuffle): a
+    per-partition mapInPandas emits only keys whose LOCAL count >= thr//P.
+    Pigeonhole superset proof: if every one of the P partitions held a key
+    fewer than ceil(thr/P) times its global count would be at most
+    P*(ceil(thr/P)-1) < thr, so every true heavy hitter clears the local
+    bar somewhere (we use floor(thr/P) — <= ceil — for extra slack against
+    the planned-vs-executed partition-count drifting).  The only shuffle
+    downstream of the scan is a distinct over the tiny candidate set —
+    at 10^10 tokens the full df.distinct() this replaces would cost the
+    same as an exact groupBy and defeat the sketch's sublinear purpose."""
+    import pandas as pd
+
     sketch = count_min_build(df, key_col, width, depth, seed)
     n = df.count()
     thr = max(1, n // k)
-    cand = count_min_estimate(
-        df.select(key_col).distinct(), sketch, key_col, width, depth, seed
-    ).filter(F.col("est") >= thr)
+    nparts = max(1, df.select(key_col).rdd.getNumPartitions())
+    local_thr = max(1, thr // nparts)
+    ktype = df.schema[key_col].dataType.simpleString()
+
+    def _local_cands(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+        yield pd.DataFrame({key_col: [k_ for k_, c in counts.items() if c >= local_thr]})
+
+    cand_keys = (
+        df.select(key_col)
+        .mapInPandas(_local_cands, schema=f"{key_col} {ktype}")
+        .distinct()
+    )
+    cand = count_min_estimate(cand_keys, sketch, key_col, width, depth, seed).filter(
+        F.col("est") >= thr
+    )
     return cand.select("key", "est", F.lit(thr).cast("long").alias("threshold"))

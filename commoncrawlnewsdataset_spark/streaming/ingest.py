@@ -269,20 +269,55 @@ def stream_dedup_corpus_to(
 ) -> StreamingQuery:
     """Continuous corpus building with CROSS-BATCH dedup: each micro-batch
     runs the batch extraction spine, then drops content whose fingerprint
-    was ingested by ANY earlier micro-batch (or earlier run — the
-    fingerprint log under ``store_dir`` persists) before appending to the
-    sink.  foreachBatch reuses the exact batch plans; at-least-once
-    delivery + content-keyed dedup gives effectively-once corpus rows (a
-    replayed batch re-drops against the fingerprint log)."""
+    was ingested by ANY earlier COMMITTED micro-batch (or earlier run — the
+    fingerprint log under ``store_dir`` persists) before writing the sink.
+
+    Effectively-once protocol (order matters — appending fingerprints
+    BEFORE the sink write would turn a mid-batch failure into silent
+    at-most-once: the retry would anti-join against fingerprints whose
+    documents never reached the sink and drop them forever):
+
+    1. the anti-join reads only fingerprints from epochs whose sink write
+       COMMITTED (sink_dir/epoch=<e>/_SUCCESS exists) — a fingerprint from
+       a failed attempt never suppresses its documents' retry.  The current
+       epoch's own fingerprints are likewise excluded so a retry AFTER a
+       successful sink write recomputes the same survivor set instead of
+       dropping everything;
+    2. the sink write is per-epoch OVERWRITE into sink_dir/epoch=<e> —
+       idempotent under Structured Streaming's epoch replay (same input →
+       same survivors → same directory contents);
+    3. only then are the survivors' fingerprints appended, stamped with the
+       epoch.  A crash between 2 and 3 replays the epoch: step 1 keeps the
+       rows, step 2 rewrites identical data, step 3 appends (duplicate
+       fingerprint rows for one epoch are harmless to an anti-join)."""
+    import os
+
     from commoncrawlnewsdataset_spark.functions.extract import extract_articles
-    from commoncrawlnewsdataset_spark.operators.dedup import dedup_against_store
+    from commoncrawlnewsdataset_spark.operators.dedup import (
+        append_fingerprints,
+        dedup_batch_against_fps,
+        fingerprint_log,
+    )
+
+    def _committed_epochs() -> set[int]:
+        if not os.path.isdir(sink_dir):
+            return set()
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(sink_dir)
+            if d.startswith("epoch=")
+            and os.path.exists(os.path.join(sink_dir, d, "_SUCCESS"))
+        }
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         arts = extract_articles(batch_df)
-        kept = dedup_against_store(arts, store_dir, "url", "text")
-        kept.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            sink_dir
-        )
+        committed = _committed_epochs() - {int(epoch_id)}
+        seen = fingerprint_log(batch_df.sparkSession, store_dir, epochs=committed)
+        kept = dedup_batch_against_fps(arts, seen, "url", "text")
+        kept.drop("_fp").withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink_dir, f"epoch={int(epoch_id)}"))
+        append_fingerprints(kept, store_dir, epoch=int(epoch_id))
 
     return (
         pages_stream.writeStream.foreachBatch(process)

@@ -840,3 +840,67 @@ def test_bloom_probe_word_array_plan_shape(spark):
     assert "element_at" in plan
     for slow in ("conv(", "hex(", "power("):
         assert slow not in plan, f"slow bit-test op {slow} back in the probe plan"
+
+
+def test_extract_links_guards_malformed_relative(spark):
+    """ADVICE r3: relative hrefs on a page whose OWN url is not http(s)
+    must drop (null), not concat an empty scheme/origin into a malformed
+    '://host/x' that would pass the not-null filter into the frontier."""
+    from commoncrawlnewsdataset_spark.frontier.links import extract_links
+
+    html = (b'<a href="//cdn.example/a">p</a>'
+            b'<a href="/rel">r</a>'
+            b'<a href="https://abs.example/x">ok</a>')
+    pages = spark.createDataFrame(
+        [("https://good.example/page", html),
+         ("file:///local/page", html),          # non-http source url
+         ("not a url at all", html)],
+        "url string, html binary",
+    )
+    edges = {(r["src"], r["dst"]) for r in extract_links(pages).collect()}
+    assert edges == {
+        ("https://good.example/page", "https://cdn.example/a"),
+        ("https://good.example/page", "https://good.example/rel"),
+        ("https://good.example/page", "https://abs.example/x"),
+        # non-http sources keep ONLY the absolute link
+        ("file:///local/page", "https://abs.example/x"),
+        ("not a url at all", "https://abs.example/x"),
+    }
+    assert not any(d.startswith("://") or "//cdn" in d and d.startswith(":")
+                   for _, d in edges)
+
+
+def test_pagerank_kill_and_resume(spark, tmp_path):
+    """VERDICT r3 #7: with checkpoint_dir, pagerank spills ranks per
+    iteration into _SUCCESS-marked round dirs, and a re-run over the same
+    dir RESUMES from the newest committed iteration to a bit-identical
+    result (per-iteration 10-dp rounding makes the fixpoint reproducible)."""
+    import os
+    import shutil
+
+    from commoncrawlnewsdataset_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    want = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=6).collect()}
+
+    ckpt = str(tmp_path / "pr")
+    # "killed" run: only 3 of 6 iterations complete and spill
+    pagerank(edges, n_iter=3, checkpoint_dir=ckpt, checkpoint_every=1).collect()
+    committed = sorted(d for d in os.listdir(ckpt) if d.startswith("round="))
+    assert committed == ["round=00000", "round=00001", "round=00002"]
+
+    # resume: must pick up AFTER round 2, not restart — prove it by
+    # corrupting what a restart would need (round 0/1 spills removed)
+    shutil.rmtree(os.path.join(ckpt, "round=00000"))
+    shutil.rmtree(os.path.join(ckpt, "round=00001"))
+    got = {r["node"]: r["rank"] for r in
+           pagerank(edges, n_iter=6, checkpoint_dir=ckpt,
+                    checkpoint_every=1).collect()}
+    assert got == want
+    # and the resumed run committed exactly the missing iterations
+    assert sorted(d for d in os.listdir(ckpt) if d.startswith("round=")) == [
+        "round=00002", "round=00003", "round=00004", "round=00005",
+    ]

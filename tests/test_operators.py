@@ -739,3 +739,100 @@ def test_count_min_guarantees(spark):
     assert true_hh <= hh                                   # no missed heavy hitter
     # false-positive mass is bounded: the candidate set stays far below |keys|
     assert len(hh) < len(exact) // 4
+
+
+def test_count_min_unseen_key_estimates_zero(spark):
+    """ADVICE r3: a key absent from the build stream must estimate 0 — the
+    old inner join excluded its zero cells from the min (over-estimating
+    from colliding cells) and dropped keys whose cells were ALL absent."""
+    from commoncrawlnewsdataset_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, ["key"])
+    # narrow width forces real collisions so absent-cell handling matters
+    sketch = count_min_build(df, "key", width=4, depth=4)
+    probe = spark.createDataFrame([("a",), ("b",), ("never1",), ("never2",)], ["key"])
+    est = {r["key"]: r["est"] for r in
+           count_min_estimate(probe, sketch, "key", width=4, depth=4).collect()}
+    assert set(est) == {"a", "b", "never1", "never2"}  # no key vanishes
+    assert est["a"] >= 5 and est["b"] >= 3             # never under-counts
+    # an unseen key's estimate is exact 0 UNLESS every one of its cells
+    # collides; with width=4 that can happen, so assert the contract on a
+    # wide grid where collisions are impossible for 2 build keys
+    wide = count_min_build(df, "key", width=4096, depth=4)
+    est_w = {r["key"]: r["est"] for r in
+             count_min_estimate(probe, wide, "key", width=4096, depth=4).collect()}
+    assert est_w == {"a": 5, "b": 3, "never1": 0, "never2": 0}
+
+
+def test_heavy_hitters_candidates_are_mapside(spark):
+    """VERDICT r3 #1 plan lock: candidate generation must be a map-side
+    mapInPandas directly over the scan — no full-key-cardinality Exchange
+    may precede estimation (the old distinct-over-all-keys cost the same
+    shuffle as an exact groupBy and defeated the sketch)."""
+    from commoncrawlnewsdataset_spark.operators.sketch import heavy_hitters
+
+    df = spark.range(0, 10000, 1, 8).select(
+        F.when(F.col("id") < 3000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 37).cast("string")))
+        .alias("key")
+    )
+    out = heavy_hitters(df, "key", k=10, width=2048, depth=4)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    lines = plan.splitlines()
+    mip = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    # walk the MapInPandas subtree down to its scan: no Exchange in between
+    for line in lines[mip + 1:]:
+        if "Scan" in line or "Range" in line:
+            break
+        assert "Exchange" not in line, (
+            "full-cardinality shuffle before candidate generation:\n" + plan
+        )
+    # and the result is still correct: every true heavy hitter is present
+    exact = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    thr = max(1, 10000 // 10)
+    true_hh = {k for k, c in exact.items() if c >= thr}
+    assert true_hh == {"hot"}  # the fixture really has a heavy hitter
+    got = {r["key"] for r in out.collect()}
+    assert true_hh <= got
+
+
+def test_dup_clusters_resume_final_round_converged(spark, tmp_path):
+    """ADVICE r3: resuming when the newest committed spill IS the final
+    round (start >= max_iter) must not raise 'did not converge' if the
+    spilled labels already converged — convergence is re-checked (or read
+    from the durable _CONVERGED marker) on resume."""
+    import os
+
+    from commoncrawlnewsdataset_spark.operators.dedup import dup_clusters
+
+    nodes = spark.range(8)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], "a long, b long")
+    ckpt = str(tmp_path / "cc")
+    out = dup_clusters(nodes, pairs, max_iter=10, checkpoint_dir=ckpt,
+                       checkpoint_every=1)
+    assert all(r["cluster_id"] == 0 for r in out.collect())
+    assert os.path.exists(os.path.join(ckpt, "_CONVERGED"))
+
+    newest = max(int(d.split("=")[1]) for d in os.listdir(ckpt)
+                 if d.startswith("round="))
+    # marker path: resume with max_iter == newest committed round -> loop
+    # body can never run; must return converged labels, not raise
+    out2 = dup_clusters(nodes, pairs, max_iter=newest, checkpoint_dir=ckpt,
+                        checkpoint_every=1)
+    assert all(r["cluster_id"] == 0 for r in out2.collect())
+    # re-check path: same resume with the marker deleted -> one changed-count
+    # job must detect convergence from the labels themselves
+    os.remove(os.path.join(ckpt, "_CONVERGED"))
+    out3 = dup_clusters(nodes, pairs, max_iter=newest, checkpoint_dir=ckpt,
+                        checkpoint_every=1)
+    assert all(r["cluster_id"] == 0 for r in out3.collect())

@@ -434,3 +434,63 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
     want = {(r["user_id"], r["n_sessions"], r["max_session_events"])
             for r in q_sessionize(spark, sf).collect()}
     assert got == want and len(want) == 15
+
+
+def test_stream_dedup_retry_after_failed_sink_is_not_at_most_once(spark, tmp_path):
+    """ADVICE r3 (medium): fingerprints appended by a FAILED micro-batch
+    attempt (sink write never committed) must not suppress those documents
+    on retry.  Simulated by pre-poisoning the store with epoch-0-stamped
+    fingerprints for every document while the sink has no committed
+    epoch=0 — exactly the on-disk state a crash between fingerprint append
+    and sink write used to leave.  The replay (epoch 0 again) must still
+    deliver the documents."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawlnewsdataset_spark.streaming.ingest import (
+        stream_dedup_corpus_to,
+        stream_pages,
+    )
+
+    bodies = {"https://h.example/u1": "alpha body", "https://h.example/u2": "beta body"}
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    rows = [(u, 0, f"<html><body><p>{b}</p></body></html>".encode(), None, None)
+            for u, b in bodies.items()]
+    tbl = pa.table({k: pa.array(v, schema.field(k).type)
+                    for k, v in zip(schema.names, map(list, zip(*rows)))},
+                   schema=schema)
+    pq.write_table(tbl, os.path.join(src, "b0.parquet"))
+
+    # poison: the failed attempt's fingerprint append (epoch 0, no sink
+    # commit) — fingerprints computed with the REAL fingerprint function so
+    # they match what the retry's anti-join would see
+    from commoncrawlnewsdataset_spark.functions.quality import fingerprint_md5
+
+    store = str(tmp_path / "store")
+    fps = [r["fp"] for r in
+           spark.createDataFrame([(b,) for b in bodies.values()], "t string")
+           .select(fingerprint_md5(F.col("t")).alias("fp")).collect()]
+    log_dir = os.path.join(store, "fingerprints.parquet")
+    os.makedirs(log_dir)
+    pq.write_table(
+        pa.table({"fp": pa.array(fps, pa.string()),
+                  "epoch": pa.array([0] * len(fps), pa.int64())}),
+        os.path.join(log_dir, "part-poison.parquet"),
+    )
+
+    q = stream_dedup_corpus_to(
+        stream_pages(spark, src, max_files_per_trigger=1),
+        store, str(tmp_path / "sink"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = {(r["url"], r["text"]) for r in
+           spark.read.parquet(str(tmp_path / "sink")).select("url", "text").collect()}
+    assert got == {(u, b) for u, b in bodies.items()}, (
+        "documents lost: uncommitted-epoch fingerprints suppressed the retry"
+    )

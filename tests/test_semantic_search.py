@@ -72,3 +72,29 @@ def test_metadata_join_carries_score(spark, emb):
     got = {r["id"]: r["score"] for r in out}
     expected = {r["id"]: r["score"] for r in topk.collect()}
     assert got == expected  # per-row score join (no positional attach)
+
+
+def test_rescore_recall_floor(spark):
+    """VERDICT r3 #3 recall lock: the two-stage rescore configs published in
+    BENCH/ANN.md must keep recall@10 >= 0.9 against exact cosine ground
+    truth on the real embeddings table — the engine's counterpart to
+    USearch's effectively-1.0 default recall."""
+    from commoncrawlnewsdataset_spark.operators import similarity as S
+    from commoncrawlnewsdataset_spark.operators.quantize import calibration_ranges
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    n = emb.count()
+    lo, hi = calibration_ranges(emb)
+    qrows = emb.filter(F.col("vec_id") % (n // 5) == 1).orderBy("vec_id").limit(5).collect()
+    tot_b = tot_i = 0
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth = {x["vec_id"] for x in S.brute_force_topk(emb, qv, 10).collect()}
+        got_b = {x["vec_id"] for x in
+                 S.binary_rescore_topk(emb, qv, 10, shortlist=max(200, n // 5)).collect()}
+        got_i = {x["vec_id"] for x in
+                 S.int8_rescore_topk(emb, qv, lo, hi, 10, shortlist=max(50, n // 10)).collect()}
+        tot_b += len(got_b & truth)
+        tot_i += len(got_i & truth)
+    assert tot_b / (10 * len(qrows)) >= 0.9, "binary rescore recall floor broken"
+    assert tot_i / (10 * len(qrows)) >= 0.9, "int8 rescore recall floor broken"

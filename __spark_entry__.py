@@ -120,9 +120,11 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over the corpus token stream (frequency
     sketch: a few-MB grid regardless of vocabulary size).  Rows-only by
-    design: estimates depend on xxhash64, which DuckDB lacks; the
-    no-under-count / no-missed-heavy-hitter guarantees are property-tested
-    in tests/test_operators.py."""
+    design: the map-side candidate superset is partition-dependent for
+    false positives; the sketch MATH itself is value-oracle-checked by the
+    md5-family `count_min_estimates` query, and the no-under-count /
+    no-missed-heavy-hitter guarantees are property-tested in
+    tests/test_operators.py."""
     from commoncrawlnewsdataset_spark.operators.dedup import tokens
     from commoncrawlnewsdataset_spark.operators.sketch import heavy_hitters
 

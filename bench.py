@@ -60,6 +60,10 @@ def main() -> None:
         "repetition_stats",
         "domain_cap",
         "crawl_corpus_pipeline",
+        # round 4: int8 inner-product search + the >=0.9-recall two-stage
+        # rescore (both oracle-certified)
+        "int8_topk",
+        "ann_rescore_topk",
     ]
     registry = spark_queries()
     # warm up the JVM/codegen/python-worker pools so the first timed query

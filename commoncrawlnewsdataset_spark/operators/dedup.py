@@ -752,3 +752,54 @@ def dup_clusters(
         else:
             raise RuntimeError(msg)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (GPT-3 / Pile-style n-gram overlap filter)
+# ---------------------------------------------------------------------------
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Training docs sharing at least one k-token shingle with an eval set:
+    (id, n_overlap) with n_overlap = count of DISTINCT shared shingles —
+    the audit view behind ``decontaminate``.
+
+    Scale shape: the eval side collapses to a distinct shingle set (eval
+    suites are tiny next to the corpus) and BROADCASTS; the corpus side
+    explodes shingles once in the scan stage, so the whole check is one
+    broadcast semi-ish join + groupBy(id) — no shuffle of corpus text."""
+    ev = (
+        eval_docs.select(F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    return (
+        doc_sh.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Drop every training doc that shares a k-token shingle with the eval
+    set (the decontamination step of GPT-3 appendix C / The Pile): returns
+    the surviving rows of ``docs``.  Anti-join on the hits view, so the
+    corpus is scanned once."""
+    hits = contamination_hits(docs, eval_docs, id_col, text_col, k)
+    return docs.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )

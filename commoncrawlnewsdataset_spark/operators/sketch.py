@@ -10,10 +10,15 @@ host/token frequencies without a full groupBy over the key space.
 
 Spark-first shape: the sketch build is ONE exploded groupBy (depth cells
 per input row fused into a single shuffle on ~8-byte (row, col) keys);
-estimation broadcast-joins the tiny grid back.  All hashing is xxhash64
-column expressions.  Deterministic for a given (width, depth, seed) but
-NOT cross-engine (DuckDB lacks xxhash64): driver checks are rows-only and
-the ε-guarantee is property-tested instead (tests/test_operators.py).
+estimation broadcast-joins the tiny grid back.
+
+Hashing is dual-family like minhash_lsh_pairs: ``hasher="xxhash64"``
+(default) is the production fast path — native 64-bit, not cross-engine;
+``hasher="md5"`` maps cells via the first 8 md5 hex chars of
+``"<seed+j>:<key>"`` which DuckDB reproduces exactly
+(('0x'||substr(md5(...),1,8))::BIGINT % width), so the md5 variant is
+fully DuckDB-oracle-checkable while the ε-guarantee itself is
+property-tested for both (tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -22,12 +27,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cells(key, width: int, depth: int, seed: int):
+def _cells(key, width: int, depth: int, seed: int, hasher: str = "xxhash64"):
+    if hasher == "md5":
+        def col_for(j: int):
+            h = F.md5(F.concat(F.lit(str(seed + j) + ":"), key.cast("string")))
+            return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+    else:
+        def col_for(j: int):
+            return F.pmod(F.xxhash64(F.lit(seed + j), key), F.lit(width))
     return F.array(
         *[
             F.struct(
                 F.lit(j).alias("row"),
-                F.pmod(F.xxhash64(F.lit(seed + j), key), F.lit(width)).cast("int").alias("col"),
+                col_for(j).cast("int").alias("col"),
             )
             for j in range(depth)
         ]
@@ -35,10 +47,11 @@ def _cells(key, width: int, depth: int, seed: int):
 
 
 def count_min_build(
-    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4, seed: int = 0
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4, seed: int = 0,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(row, col, c) grid cells — at most width*depth rows, one shuffle."""
-    cells = df.select(F.explode(_cells(F.col(key_col), width, depth, seed)).alias("s"))
+    cells = df.select(F.explode(_cells(F.col(key_col), width, depth, seed, hasher)).alias("s"))
     return cells.groupBy("s.row", "s.col").agg(F.count("*").alias("c"))
 
 
@@ -49,6 +62,7 @@ def count_min_estimate(
     width: int = 1024,
     depth: int = 4,
     seed: int = 0,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Adds ``est`` = min over the key's depth cells (never under-counts).
     The grid broadcasts; per key this is a broadcast join + one min-agg.
@@ -60,7 +74,7 @@ def count_min_estimate(
     the output entirely — the CM contract says those estimate exactly 0."""
     exploded = keys.select(
         F.col(key_col).alias("key"),
-        F.explode(_cells(F.col(key_col), width, depth, seed)).alias("s"),
+        F.explode(_cells(F.col(key_col), width, depth, seed, hasher)).alias("s"),
     ).select("key", "s.row", "s.col")
     return (
         exploded.join(F.broadcast(sketch), ["row", "col"], "left")
@@ -76,6 +90,7 @@ def heavy_hitters(
     width: int = 1024,
     depth: int = 4,
     seed: int = 0,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Keys whose count-min estimate is >= N/k.  GUARANTEE (the property the
     tests pin): every TRUE heavy hitter (exact count >= N/k) is returned,
@@ -94,7 +109,7 @@ def heavy_hitters(
     same as an exact groupBy and defeat the sketch's sublinear purpose."""
     import pandas as pd
 
-    sketch = count_min_build(df, key_col, width, depth, seed)
+    sketch = count_min_build(df, key_col, width, depth, seed, hasher)
     n = df.count()
     thr = max(1, n // k)
     nparts = max(1, df.select(key_col).rdd.getNumPartitions())
@@ -113,7 +128,7 @@ def heavy_hitters(
         .mapInPandas(_local_cands, schema=f"{key_col} {ktype}")
         .distinct()
     )
-    cand = count_min_estimate(cand_keys, sketch, key_col, width, depth, seed).filter(
-        F.col("est") >= thr
-    )
+    cand = count_min_estimate(
+        cand_keys, sketch, key_col, width, depth, seed, hasher
+    ).filter(F.col("est") >= thr)
     return cand.select("key", "est", F.lit(thr).cast("long").alias("threshold"))

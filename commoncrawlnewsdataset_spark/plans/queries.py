@@ -1541,6 +1541,144 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (beyond-reference training-pipeline stage): emails /
+    phones / IPv4s -> typed placeholder tokens, with per-doc audit counts.
+    Deterministic PII is injected into every third document IN THE QUERY
+    (the synthetic corpus contains none) so the redaction actually fires;
+    the oracle mirrors injection, counts, and the 3-step replacement order
+    exactly (DuckDB regexp_replace needs the 'g' flag)."""
+    from commoncrawlnewsdataset_spark.functions.pii import with_pii_redacted
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    return with_pii_redacted(injected).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "redacted"
+    )
+
+
+ORACLE_PII = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or 555-123-4567 at 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+              ELSE coalesce(text, '') END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+FROM inj
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appendix C / The Pile): docs sharing
+    a trigram shingle with the eval slice (doc_id < 5) are flagged with
+    their distinct-overlap count.  The eval shingle set broadcasts; the
+    corpus shuffles only exploded shingle hits, never text."""
+    from commoncrawlnewsdataset_spark.operators.dedup import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") < 5)
+    train = docs.filter(F.col("doc_id") >= 5)
+    hits = contamination_hits(train, ev, "doc_id", "text", k=3)
+    return hits.select(
+        F.col("id").alias("doc_id"), F.col("n_overlap").cast("long").alias("n_overlap")
+    ).orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {_DUCK_SHINGLES_K3} AS sh FROM t
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS esh FROM s WHERE doc_id < 5
+), doc_sh AS (
+  SELECT doc_id, unnest(sh) AS dsh FROM s WHERE doc_id >= 5
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM doc_sh JOIN ev ON dsh = esh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch VALUE oracle (md5 hash family — the cross-engine
+    contract, like minhash's): build the (depth x width) grid over the full
+    corpus token stream, then estimate a DETERMINISTIC probe set (the exact
+    top-30 tokens).  DuckDB replays the grid and the min-over-cells estimate
+    bit-for-bit, so a green row certifies the sketch MATH (cell addressing,
+    grid counts, zero-cell coalesce, min-aggregate) — heavy_hitters stays
+    rows-only only because its map-side candidate superset is
+    partition-dependent for false positives, by design."""
+    from commoncrawlnewsdataset_spark.operators.dedup import tokens
+    from commoncrawlnewsdataset_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = count_min_build(toks, "tok", width=2048, depth=4, hasher="md5")
+    probe = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(30)
+        .select("tok")
+    )
+    est = count_min_estimate(probe, sketch, "tok", width=2048, depth=4, hasher="md5")
+    return est.orderBy(F.desc("est"), "key").select("key", "est")
+
+
+ORACLE_COUNT_MIN = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), cells AS (
+  SELECT tok, j.j AS j,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 8))::UBIGINT % 2048 AS BIGINT) AS col
+  FROM toks, unnest([0, 1, 2, 3]) AS j(j)
+), grid AS (
+  SELECT j, col, count(*) AS c FROM cells GROUP BY 1, 2
+), probe AS (
+  SELECT tok FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 30
+), pcells AS (
+  SELECT p.tok, j.j AS j,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || p.tok), 1, 8))::UBIGINT % 2048 AS BIGINT) AS col
+  FROM probe p, unnest([0, 1, 2, 3]) AS j(j)
+)
+SELECT p.tok AS key, CAST(min(coalesce(g.c, 0)) AS BIGINT) AS est
+FROM pcells p LEFT JOIN grid g ON g.j = p.j AND g.col = p.col
+GROUP BY p.tok
+ORDER BY est DESC, key
+"""
+
+
 def q_calibration_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-dimension min/max calibration over the whole corpus
     (09_embedding_transformation.py:15-17) as a relational result."""
@@ -2511,6 +2649,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
         "token_explode_topk": q_token_explode_topk,
+        "count_min_estimates": q_count_min_estimates,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
         "json_extract": q_json_extract,
         "user_event_arrays": q_user_event_arrays,
         "above_customer_avg": q_above_customer_avg,
@@ -2584,6 +2725,9 @@ def oracle_sqls() -> dict[str, str]:
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,
         "token_explode_topk": ORACLE_TOKEN_EXPLODE,
+        "count_min_estimates": ORACLE_COUNT_MIN,
+        "pii_redact": ORACLE_PII,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "json_extract": ORACLE_JSON,
         "user_event_arrays": ORACLE_USER_ARRAYS,
         "above_customer_avg": ORACLE_ABOVE_AVG,

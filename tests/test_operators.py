@@ -836,3 +836,29 @@ def test_dup_clusters_resume_final_round_converged(spark, tmp_path):
     out3 = dup_clusters(nodes, pairs, max_iter=newest, checkpoint_dir=ckpt,
                         checkpoint_every=1)
     assert all(r["cluster_id"] == 0 for r in out3.collect())
+
+
+def test_decontaminate_partitions_training_set(spark):
+    """decontaminate == train minus contamination_hits: flagged + surviving
+    ids partition the training set, eval docs themselves are never flagged,
+    and a doc sharing no shingle with the eval set always survives."""
+    from commoncrawlnewsdataset_spark.operators.dedup import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),   # eval
+        (1, "completely unrelated text about spark engines"),  # eval
+        (10, "a doc quoting the quick brown fox verbatim"),    # contaminated
+        (11, "spark engines are discussed here differently"),  # clean (no trigram match)
+        (12, "nothing in common with anything at all here"),   # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id") < 10)
+    train = docs.filter(F.col("doc_id") >= 10)
+    flagged = {r["id"] for r in contamination_hits(train, ev, "doc_id", "text").collect()}
+    surviving = {r["doc_id"] for r in decontaminate(train, ev, "doc_id", "text").collect()}
+    assert flagged == {10}
+    assert surviving == {11, 12}
+    assert flagged | surviving == {10, 11, 12} and not flagged & surviving

@@ -4,7 +4,7 @@ per-wave cost stays FLAT — i.e. the O(delta) snapshot read + checkpoint
 cadence actually holds at the wave counts the north rule implies, extending
 BENCH/ODELTA.md's single datapoint.  Writes BENCH/SOAK.md.
 
-Usage: python tools/soak_bench.py [n_urls] [n_hosts] [budget] [compact_every]
+Usage: python tools/soak_bench.py [n_urls] [n_hosts] [budget] [compact_every] [max_waves] [out_md]
 """
 
 from __future__ import annotations
@@ -22,7 +22,8 @@ def main() -> None:
     n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 5
-    max_waves = 50
+    max_waves = int(sys.argv[5]) if len(sys.argv) > 5 else 50
+    out_md = sys.argv[6] if len(sys.argv) > 6 else "BENCH/SOAK.md"
 
     from pyspark.sql import functions as F
 
@@ -81,9 +82,9 @@ def main() -> None:
     total_fetched = sum(r[1] for r in rows)
     total_s = sum(r[2] for r in rows)
 
-    with open("BENCH/SOAK.md", "w") as f:
+    with open(out_md, "w") as f:
         f.write(
-            f"# 50-wave compaction soak — {n_urls:,} urls, {n_hosts:,} hosts, "
+            f"# {max_waves}-wave compaction soak — {n_urls:,} urls, {n_hosts:,} hosts, "
             f"budget {budget}, compact_every={compact_every} + expire_snapshots\n\n"
             f"Seed load: {seed_s:.1f}s.  Total: {total_fetched:,} urls attempted "
             f"over {len(work)} working waves, {total_s:.1f}s "
@@ -106,7 +107,7 @@ def main() -> None:
             )
     print(
         f"waves={len(rows)} fetched={total_fetched:,} total={total_s:.1f}s "
-        f"late/early={ratio:.2f} -> BENCH/SOAK.md"
+        f"late/early={ratio:.2f} -> {out_md}"
     )
 
 

@@ -78,3 +78,30 @@ NER_PROJECTION = [
 def project_ner_columns(df: DataFrame) -> DataFrame:
     """P3: the fixed 12-column projection (06:69-70)."""
     return df.select(*NER_PROJECTION)
+
+
+def make_spacy_ner_udf(model_path: str, label: str = "city_names"):
+    """Production V5: the reference's spaCy extraction verbatim
+    (06_named_entity_recognition.py:96 `nlp = spacy.load(model_path)`;
+    06:49-51 `[ent.text for ent in doc.ents if ent.label_ == 'city_names']`)
+    as the same iterator pandas UDF shape as the gazetteer stub — the model
+    loads ONCE per python worker (the fix for the reference's slowest
+    stage), and the spacy import is deferred into the UDF body so the
+    driver never needs the package.  Contract-tested against a mock spacy
+    module (tests/test_functions.py::test_spacy_ner_adapter_contract);
+    byte-parity with the real model is environment-bound (no spacy in this
+    container)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def spacy_ner(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import spacy  # deferred: executor-side dependency only
+
+        nlp = spacy.load(model_path)  # once per python worker
+        for texts in batches:
+            yield texts.map(
+                lambda t: [e.text for e in nlp(t).ents if e.label_ == label]
+                if t
+                else []
+            )
+
+    return spacy_ner

@@ -75,3 +75,42 @@ def with_all_quantizations(emb: DataFrame, vec_col: str = "embeddings") -> DataF
     return emb.withColumn(
         "int8_embeddings", quantize_int8(F.col(vec_col), lo, hi)
     ).withColumn("binary_embeddings", pack_binary_bytes(F.col(vec_col)))
+
+
+def make_st_encoder_udf(
+    model_name: str = "mixedbread-ai/deepset-mxbai-embed-de-large-v1",
+    prompt: str = "passage: ",
+    device: str | None = None,
+    model_kwargs: dict | None = None,
+):
+    """Production V1: the reference's sentence-transformers call verbatim
+    (09_embedding_transformation.py:11-13 — same model id, ctor
+    device/model_kwargs, and encode(normalize_embeddings=True,
+    prompt='passage: ')) in the iterator-UDF shape: the model is
+    constructed ONCE per python worker and every Arrow batch is one
+    encode() call (the reference encodes the whole table in one call on a
+    GPU box; per-batch is the executor-memory-safe equivalent).  The import
+    is deferred into the UDF body — executor-side dependency only.
+    Contract-tested against a mock sentence_transformers module
+    (tests/test_functions.py::test_st_encoder_adapter_contract); numeric
+    parity with the real model is environment-bound."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from sentence_transformers import SentenceTransformer
+
+        kw = {}
+        if device is not None:
+            kw["device"] = device
+        if model_kwargs is not None:
+            kw["model_kwargs"] = model_kwargs
+        model = SentenceTransformer(model_name, **kw)  # once per worker
+        for texts in batches:
+            embs = model.encode(
+                list(texts.fillna("")),
+                normalize_embeddings=True,
+                prompt=prompt,
+            )
+            yield pd.Series([np.asarray(e, dtype=np.float32).tolist() for e in embs])
+
+    return encode

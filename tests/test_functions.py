@@ -176,3 +176,112 @@ def test_compression_ratio_signal(spark):
     assert got[1] < 0.05          # pure template collapses
     assert got[2] > 3 * got[1]    # varied text compresses far less
     assert got[3] == 1.0 and got[4] == 1.0
+
+
+def test_trafilatura_adapter_contract(monkeypatch):
+    """X4 real branch: when trafilatura is importable, extract_one must call
+    it with the reference's EXACT kwargs (03_extract_text.py:54-58) and map
+    fields raw_text->text / filedate->date_crawled (03:63-75); falsy
+    extraction -> None row.  Verified against a mock module since the
+    package is absent in this container."""
+    import importlib
+    import json as js
+    import sys
+    import types
+
+    calls = {}
+    fake = types.ModuleType("trafilatura")
+
+    def fake_extract(html, **kwargs):
+        calls["kwargs"] = dict(kwargs)
+        return js.dumps({
+            "raw_text": "body text", "excerpt": "ex", "date": "2024-01-01",
+            "tags": "t1", "categories": "c1", "title": "T",
+            "filedate": "2024-01-02", "hostname": "h.example",
+        })
+
+    fake.extract = fake_extract
+    import commoncrawlnewsdataset_spark.functions.extract as ex
+    monkeypatch.setitem(sys.modules, "trafilatura", fake)
+    importlib.reload(ex)
+    try:
+        assert ex.HAVE_TRAFILATURA
+        out = ex.extract_one(b"<html><p>x</p></html>", "https://h.example/p")
+        assert calls["kwargs"] == {
+            "include_comments": False, "deduplicate": True,
+            "output_format": "json", "with_metadata": True,
+        }
+        assert out == {
+            "text": "body text", "excerpt": "ex", "date": "2024-01-01",
+            "tags": "t1", "categories": "c1", "title": "T",
+            "date_crawled": "2024-01-02", "hostname": "h.example",
+        }
+        fake.extract = lambda html, **k: None
+        assert ex.extract_one(b"<html></html>", "u") is None
+    finally:
+        del sys.modules["trafilatura"]
+        importlib.reload(ex)
+    assert not ex.HAVE_TRAFILATURA  # fallback restored for the other tests
+
+
+def test_spacy_ner_adapter_contract(spark, tmp_path):
+    """V5 real branch: make_spacy_ner_udf must spacy.load(model_path) and
+    keep exactly the ents with label_ == 'city_names'
+    (06_named_entity_recognition.py:49-51,96).  A fake spacy module is
+    shipped to the python workers via addPyFile; the fake encodes the
+    loaded path into its entity text so the assertion proves the argument
+    arrived."""
+    from pyspark.sql import functions as F2
+
+    from commoncrawlnewsdataset_spark.ner import make_spacy_ner_udf
+
+    (tmp_path / "spacy.py").write_text(
+        "class _Ent:\n"
+        "    def __init__(self, text, label): self.text, self.label_ = text, label\n"
+        "class _Doc:\n"
+        "    def __init__(self, ents): self.ents = ents\n"
+        "class _Nlp:\n"
+        "    def __init__(self, path): self.path = path\n"
+        "    def __call__(self, text):\n"
+        "        return _Doc([_Ent(self.path + '::' + text[:6], 'city_names'),\n"
+        "                     _Ent('dropped', 'org_names')])\n"
+        "def load(path): return _Nlp(path)\n"
+    )
+    spark.sparkContext.addPyFile(str(tmp_path / "spacy.py"))
+    udf = make_spacy_ner_udf("/models/city_v2")
+    df = spark.createDataFrame([("Berlin calling",), (None,)], ["text"])
+    rows = df.select(udf(F2.col("text")).alias("loc")).collect()
+    assert rows[0]["loc"] == ["/models/city_v2::Berlin"]  # load(path) + label filter
+    assert rows[1]["loc"] == []                           # null text -> []
+
+
+def test_st_encoder_adapter_contract(spark, tmp_path):
+    """V1 real branch: make_st_encoder_udf must construct
+    SentenceTransformer(<reference model id>, device=..., model_kwargs=...)
+    and call encode(normalize_embeddings=True, prompt='passage: ')
+    (09_embedding_transformation.py:11-13).  The fake model encodes every
+    received argument into the output vector so the collected values prove
+    each kwarg arrived on the worker."""
+    from pyspark.sql import functions as F2
+
+    from commoncrawlnewsdataset_spark.plans.embed import make_st_encoder_udf
+
+    (tmp_path / "sentence_transformers.py").write_text(
+        "import numpy as np\n"
+        "class SentenceTransformer:\n"
+        "    def __init__(self, name, device=None, model_kwargs=None):\n"
+        "        self.name, self.device, self.mk = name, device, model_kwargs\n"
+        "    def encode(self, texts, normalize_embeddings=False, prompt=''):\n"
+        "        return np.array([[float(len(self.name)),\n"
+        "                          1.0 if normalize_embeddings else 0.0,\n"
+        "                          float(len(prompt)),\n"
+        "                          1.0 if self.device == 'cuda' else 0.0,\n"
+        "                          1.0 if self.mk == {'torch_dtype': 'float16'} else 0.0,\n"
+        "                          float(len(t))] for t in texts], dtype=np.float32)\n"
+    )
+    spark.sparkContext.addPyFile(str(tmp_path / "sentence_transformers.py"))
+    udf = make_st_encoder_udf(device="cuda", model_kwargs={"torch_dtype": "float16"})
+    df = spark.createDataFrame([("hello",)], ["text"])
+    vec = df.select(udf(F2.col("text")).alias("e")).first()["e"]
+    ref_model = "mixedbread-ai/deepset-mxbai-embed-de-large-v1"
+    assert vec == [float(len(ref_model)), 1.0, float(len("passage: ")), 1.0, 1.0, 5.0]

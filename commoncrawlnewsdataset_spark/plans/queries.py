@@ -1626,6 +1626,55 @@ ORDER BY doc_id
 """
 
 
+def q_binary_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary two-stage search, value-oracled end-to-end: packed sign-word
+    Hamming shortlist (operators/similarity.py pack_sign_words /
+    hamming_words — 32 bits per long, MSB-first) then exact cosine rescore.
+    DuckDB replays the bit packing (list fold), bit_count(xor) Hamming, the
+    shortlist tie-break, and the rescore, so a green row certifies the
+    whole binary index path cross-engine (dim must be a multiple of 32 —
+    the testdata's 64 and the reference's 1024 both are)."""
+    from commoncrawlnewsdataset_spark.operators.similarity import binary_rescore_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_rescore_topk(emb, _query_vec(spark, sf_dir), k=10, shortlist=100)
+
+
+ORACLE_BINARY_RESCORE = """
+WITH sig AS (
+  SELECT vec_id, embedding,
+         list_transform(generate_series(0, CAST(len(embedding) / 32 AS INT) - 1),
+           w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(w * 32 + 1, w * 32 + 32),
+                    i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END)),
+                  (a, b) -> a * 2 + b)) AS words
+  FROM embeddings
+), q AS (
+  SELECT words AS qwords, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM sig WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), hd AS (
+  SELECT s.vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, len(s.words)),
+             i -> CAST(bit_count(xor(s.words[i], q.qwords[i])) AS BIGINT))),
+           (a, b) -> a + b) AS hamming
+  FROM sig s CROSS JOIN q
+), short AS (
+  SELECT vec_id FROM hd ORDER BY hamming, vec_id LIMIT 100
+)
+SELECT e.vec_id,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i])), (a,x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,x) -> a + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(q.qv, x -> x * x)), (a,x) -> a + x))), 4) AS score
+FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, e.vec_id LIMIT 10
+"""
+
+
 def q_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch VALUE oracle (md5 hash family — the cross-engine
     contract, like minhash's): build the (depth x width) grid over the full
@@ -2669,6 +2718,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quantize": q_int8_quantize,
         "int8_topk": q_int8_topk,
         "ann_rescore_topk": q_ann_rescore_topk,
+        "binary_rescore_topk": q_binary_rescore_topk,
         "binary_quantize": q_binary_quantize,
         # frontier semantics
         "politeness_wave": q_politeness_wave,
@@ -2744,6 +2794,7 @@ def oracle_sqls() -> dict[str, str]:
         "int8_quantize": ORACLE_INT8,
         "int8_topk": ORACLE_INT8_TOPK,
         "ann_rescore_topk": ORACLE_ANN_RESCORE,
+        "binary_rescore_topk": ORACLE_BINARY_RESCORE,
         "binary_quantize": ORACLE_BINARY,
         "politeness_wave": ORACLE_POLITENESS,
         "url_seen_antijoin": ORACLE_URL_SEEN,

@@ -494,3 +494,56 @@ def test_stream_dedup_retry_after_failed_sink_is_not_at_most_once(spark, tmp_pat
     assert got == {(u, b) for u, b in bodies.items()}, (
         "documents lost: uncommitted-epoch fingerprints suppressed the retry"
     )
+
+
+def test_spark_submit_pyfiles_ships_the_engine(tmp_path):
+    """north_rule shipping mode: `spark-submit --py-files dist/ccnews_spark.zip`
+    must be self-contained — the child runs from an empty cwd with the repo
+    STRIPPED from PYTHONPATH, so the import can only resolve from the
+    shipped zip.  Runs a real oracle query end-to-end in the child JVM."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    subprocess.run(
+        [sys.executable, str(repo / "tools" / "package_pyfiles.py")],
+        check=True, cwd=repo, capture_output=True,
+    )
+    zip_path = repo / "dist" / "ccnews_spark.zip"
+    driver = tmp_path / "job.py"
+    driver.write_text(
+        "import sys\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .config('spark.sql.shuffle.partitions', '4').getOrCreate())\n"
+        "import commoncrawlnewsdataset_spark\n"
+        "assert 'ccnews_spark.zip' in commoncrawlnewsdataset_spark.__file__, (\n"
+        "    'package not imported from the shipped zip: '\n"
+        "    + commoncrawlnewsdataset_spark.__file__)\n"
+        "from commoncrawlnewsdataset_spark.plans.queries import spark_queries\n"
+        "df = spark_queries()['pricing_summary'](spark, sys.argv[1])\n"
+        "print('SUBMIT_ROWS=' + str(df.count()))\n"
+    )
+    spark_home = Path(os.environ.get("SPARK_HOME", "")) if os.environ.get("SPARK_HOME") else None
+    submit = None
+    if spark_home and (spark_home / "bin" / "spark-submit").exists():
+        submit = str(spark_home / "bin" / "spark-submit")
+    else:
+        import pyspark
+        cand = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+        if cand.exists():
+            submit = str(cand)
+    assert submit, "spark-submit not found"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # repo must NOT be importable from the env
+    out = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", str(zip_path), str(driver),
+         "/root/testdata/sf0.001"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [l for l in out.stdout.splitlines() if l.startswith("SUBMIT_ROWS=")]
+    assert rows and int(rows[0].split("=")[1]) > 0

@@ -145,3 +145,22 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_frontier_b")
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast (tiny vs corpus): the overlap
+    join is a BroadcastHashJoin, never a SortMergeJoin shuffling exploded
+    corpus shingles against the eval side."""
+    plan = plan_of(Q.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_is_pure_codegen(spark):
+    """PII redaction must stay JVM-side: regex counts + replacements in
+    Projects, zero python UDF evaluation in the plan (the only Exchange is
+    the deliberate CPU fan-out repartition for the regex-bound stage)."""
+    plan = plan_of(Q.q_pii_redact(spark, SF))
+    assert "regexp_replace" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from hypothesis import given, settings, strategies as st
 
 from commoncrawlnewsdataset_spark.functions.hashes import hash_uuid_py, location_id_py
@@ -175,3 +177,52 @@ def test_robots_parser_never_crashes(body):
         assert isinstance(r["allowed"], bool)
         assert r["crawl_delay_s"] is None or isinstance(r["crawl_delay_s"], float)
         assert isinstance(r["path_prefix"], str)
+
+
+def test_pack_sign_words_matches_numpy(spark):
+    """pack_sign_words/hamming_words vs an independent numpy packing:
+    random vectors (incl. zeros and negatives), words = 32-bit MSB-first
+    groups of the sign bits; Hamming distance between any two vectors
+    equals the numpy XOR popcount."""
+    import numpy as np
+
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        hamming_words,
+        pack_sign_words,
+        sign_words_of,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(40, 64))
+    vecs[0] = 0.0                      # all-zero edge: every sign bit 0
+    vecs[1, ::2] = 0.0                 # mixed zeros
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def np_words(v):
+        bits = (v > 0).astype(np.uint8)
+        out = []
+        for w in range(0, len(bits), 32):
+            acc = 0
+            for b in bits[w:w + 32]:
+                acc = acc * 2 + int(b)
+            out.append(acc)
+        return out
+
+    got = {r["vec_id"]: r["w"] for r in
+           df.select("vec_id", pack_sign_words(F.col("embedding")).alias("w")).collect()}
+    for i, v in enumerate(vecs):
+        assert got[i] == np_words(v), i
+        assert sign_words_of([float(x) for x in v]) == np_words(v), i
+
+    # hamming_words == numpy xor popcount, for the query vs every vector
+    q = [float(x) for x in vecs[2]]
+    qw = F.array(*[F.lit(w) for w in sign_words_of(q)])
+    hams = {r["vec_id"]: r["h"] for r in df.select(
+        "vec_id", hamming_words(pack_sign_words(F.col("embedding")), qw).alias("h")
+    ).collect()}
+    qb = (vecs[2] > 0).astype(np.uint8)
+    for i, v in enumerate(vecs):
+        assert hams[i] == int(((v > 0).astype(np.uint8) ^ qb).sum()), i

@@ -97,16 +97,21 @@ def heavy_hitters(
     because estimates never under-count; collisions can add false positives,
     bounded by the ε = e/width over-count.  Returns (key, est, threshold).
 
-    Candidate generation is MAP-SIDE (no full-cardinality shuffle): a
-    per-partition mapInPandas emits only keys whose LOCAL count >= thr//P.
-    Pigeonhole superset proof: if every one of the P partitions held a key
-    fewer than ceil(thr/P) times its global count would be at most
-    P*(ceil(thr/P)-1) < thr, so every true heavy hitter clears the local
-    bar somewhere (we use floor(thr/P) — <= ceil — for extra slack against
-    the planned-vs-executed partition-count drifting).  The only shuffle
-    downstream of the scan is a distinct over the tiny candidate set —
-    at 10^10 tokens the full df.distinct() this replaces would cost the
-    same as an exact groupBy and defeat the sketch's sublinear purpose."""
+    Candidate generation is MAP-SIDE (no full-cardinality shuffle) and
+    BOUNDED-SPACE: a per-partition mapInPandas runs a Misra-Gries summary
+    (capacity max(1024, 32k) entries, weighted batch inserts, decrement
+    mass D tracked exactly) and emits keys whose lower-bound count plus D
+    reaches thr//P.  Superset proof in two steps: (1) pigeonhole — a key
+    with global count >= thr has local count >= ceil(thr/P) in some
+    partition (else total <= P*(ceil(thr/P)-1) < thr; floor(thr/P) is used
+    for slack against planned-vs-executed partition drift); (2) Misra-Gries
+    under-counts by at most the tracked D, so `mg_count + D >= local_thr`
+    can never exclude such a key.  False positives pass downstream, where
+    the est >= thr filter screens them.  Memory is O(capacity) per
+    partition regardless of key cardinality, and the only shuffle after
+    the scan is a distinct over <= capacity*P candidates — the full
+    df.distinct() this replaces would cost the same as an exact groupBy
+    and defeat the sketch's sublinear purpose."""
     import pandas as pd
 
     sketch = count_min_build(df, key_col, width, depth, seed, hasher)
@@ -115,13 +120,34 @@ def heavy_hitters(
     nparts = max(1, df.select(key_col).rdd.getNumPartitions())
     local_thr = max(1, thr // nparts)
     ktype = df.schema[key_col].dataType.simpleString()
+    cap = max(1024, 32 * k)
 
     def _local_cands(batches):
         counts: dict = {}
+        decrement = 0  # total MG decrement: true - count <= decrement, always
         for pdf in batches:
             for key, c in pdf[key_col].value_counts().items():
                 counts[key] = counts.get(key, 0) + int(c)
-        yield pd.DataFrame({key_col: [k_ for k_, c in counts.items() if c >= local_thr]})
+            if len(counts) > cap:
+                # Misra-Gries batch step: subtract the m-th smallest count
+                # (m = overflow) from every entry, drop the non-positive —
+                # at least m entries go, table is back under capacity
+                delta = sorted(counts.values())[len(counts) - cap - 1]
+                decrement += delta
+                counts = {k_: c - delta for k_, c in counts.items() if c > delta}
+        if decrement >= local_thr:
+            # decrement <= partition_mass/cap, so reaching the local bar
+            # means this partition holds >= cap/k times the mean mass — the
+            # no-missed-heavy-hitter guarantee would silently void; fail
+            # loud with the fix instead of returning a maybe-incomplete set
+            raise RuntimeError(
+                f"heavy_hitters: Misra-Gries decrement {decrement} reached "
+                f"local_thr {local_thr} (pathological partition imbalance); "
+                "repartition the input or raise the candidate capacity"
+            )
+        yield pd.DataFrame(
+            {key_col: [k_ for k_, c in counts.items() if c + decrement >= local_thr]}
+        )
 
     cand_keys = (
         df.select(key_col)

@@ -862,3 +862,22 @@ def test_decontaminate_partitions_training_set(spark):
     assert flagged == {10}
     assert surviving == {11, 12}
     assert flagged | surviving == {10, 11, 12} and not flagged & surviving
+
+
+def test_heavy_hitters_bounded_space_eviction_path(spark):
+    """The Misra-Gries candidate summary must keep its no-missed-heavy-hitter
+    guarantee THROUGH evictions: a single partition with far more distinct
+    keys than the capacity (forcing the batch-decrement path) still returns
+    the true heavy hitter."""
+    from commoncrawlnewsdataset_spark.operators.sketch import heavy_hitters
+
+    # 6000 distinct tail keys + one hot key with half the mass, 1 partition:
+    # capacity = max(1024, 32*2) = 1024 << 6001 distinct -> evictions happen
+    df = spark.range(0, 12000, 1, 1).select(
+        F.when(F.col("id") < 6000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), F.col("id").cast("string")))
+        .alias("key")
+    )
+    out = heavy_hitters(df, "key", k=2, width=4096, depth=4)
+    got = {r["key"]: r["est"] for r in out.collect()}
+    assert "hot" in got and got["hot"] >= 6000

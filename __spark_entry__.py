@@ -244,6 +244,53 @@ WHERE doc_id < 200 AND CAST(doc_id % 3 AS INT) = 2
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: fit-within target dims computed JVM-side
+    (resize_dims — aspect preserved, never upscale), stub resample in an
+    Arrow mapInPandas (sha256(payload '|' WxH)); the oracle replays the
+    dimension math and signatures value-for-value, so the green row
+    certifies the whole resize stage minus only the codec (production
+    swaps make_pil_resize_udf, contract-tested against a mock PIL)."""
+    from commoncrawlnewsdataset_spark.operators.multimodal import resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image").otherwise("other").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(16) + (F.col("doc_id") % 200) * 7).cast("int").alias("width"),
+        (F.lit(12) + (F.col("doc_id") % 160) * 9).cast("int").alias("height"),
+    )
+    out = resize_media(media, max_w=64, max_h=64)
+    return out.select(
+        "media_id",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "resized_sha",
+    )
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         coalesce(text, '') AS payload,
+         CAST(16 + (doc_id % 200) * 7 AS DOUBLE) AS w,
+         CAST(12 + (doc_id % 160) * 9 AS DOUBLE) AS h
+  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+), z AS (
+  SELECT media_id, payload,
+         CAST(greatest(floor(w * least(64.0 / w, 64.0 / h, 1.0)), 1) AS BIGINT) AS out_w,
+         CAST(greatest(floor(h * least(64.0 / w, 64.0 / h, 1.0)), 1) AS BIGINT) AS out_h
+  FROM m
+)
+SELECT media_id, out_w, out_h,
+       sha256(payload || '|' || CAST(out_w AS VARCHAR) || 'x' || CAST(out_h AS VARCHAR)) AS resized_sha
+FROM z
+"""
+
+
 def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 NER stage (iterator pandas UDF, model loaded once per worker)."""
     from commoncrawlnewsdataset_spark.ner import with_ner
@@ -304,11 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "heavy_hitters": q_heavy_hitters,
             "media_features": q_media_features,
             "frame_samples": q_frame_samples,
+            "media_resize": q_media_resize,
             "ner_gazetteer": q_ner_gazetteer,
         }
     )
     ever, latest = _driver_coverage()
-    with_oracle = set(oracle_sqls()) | {"media_features", "frame_samples"}
+    with_oracle = set(oracle_sqls()) | {"media_features", "frame_samples", "media_resize"}
 
     def rank(name: str):
         tier = 0 if name not in ever else (1 if name not in latest else 2)
@@ -346,4 +394,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(oracle_sqls())
     out["media_features"] = ORACLE_MEDIA_FEATURES
     out["frame_samples"] = ORACLE_FRAME_SAMPLES
+    out["media_resize"] = ORACLE_MEDIA_RESIZE
     return out

@@ -125,3 +125,103 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+
+def resize_dims(w, h, max_w: int, max_h: int):
+    """Fit-within target dimensions, aspect preserved: scale =
+    min(max_w/w, max_h/h, 1) (never upscale), floor to ints, min 1 px.
+    Pure column expressions — the same double math replays in DuckDB."""
+    from pyspark.sql import functions as F
+
+    scale = F.least(
+        F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0)
+    )
+    return (
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int"),
+    )
+
+
+def resize_media(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """Image resize stage: target dims are computed JVM-side (resize_dims),
+    the resample itself is an Arrow mapInPandas over the payload — STUBBED
+    (no PIL in this container) as sha256(payload '|' out_w 'x' out_h),
+    deterministic and cross-engine reproducible so the driver oracle
+    value-checks the dimension math and the batch plumbing end-to-end;
+    production swaps the stub via make_pil_resize_udf.  The binary payload
+    stays inside the scan stage (same rule as html/extract)."""
+    from pyspark.sql import functions as F
+
+    ow, oh = resize_dims(media["width"], media["height"], max_w, max_h)
+    with_dims = media.filter(media["kind"] == "image").select(
+        "media_id", "payload", ow.alias("out_w"), oh.alias("out_h")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "resized_sha": [
+                        hashlib.sha256(
+                            (p or b"") + f"|{w}x{h}".encode()
+                        ).hexdigest()
+                        for p, w, h in zip(pdf["payload"], pdf["out_w"], pdf["out_h"])
+                    ],
+                }
+            )
+
+    return with_dims.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def make_pil_resize_udf(max_w: int = 64, max_h: int = 64, resample: str = "LANCZOS"):
+    """Production resize: PIL per python worker (import deferred to the
+    executor), decode -> thumbnail((max_w, max_h), Resampling[resample]) ->
+    re-encode PNG bytes.  Same mapInPandas contract as the stub; numeric
+    parity is environment-bound (no PIL here) — the adapter is
+    contract-tested against a mock PIL module."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        rs = getattr(Image.Resampling, resample)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "out_w": [], "out_h": [], "resized": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(payload))
+                img.thumbnail((max_w, max_h), rs)
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out["media_id"].append(mid)
+                out["out_w"].append(img.size[0])
+                out["out_h"].append(img.size[1])
+                out["resized"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+PIL_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)

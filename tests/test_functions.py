@@ -285,3 +285,40 @@ def test_st_encoder_adapter_contract(spark, tmp_path):
     vec = df.select(udf(F2.col("text")).alias("e")).first()["e"]
     ref_model = "mixedbread-ai/deepset-mxbai-embed-de-large-v1"
     assert vec == [float(len(ref_model)), 1.0, float(len("passage: ")), 1.0, 1.0, 5.0]
+
+
+def test_pil_resize_adapter_contract(spark, tmp_path):
+    """Multimodal resize real branch: make_pil_resize_udf must decode with
+    PIL.Image.open, thumbnail((max_w, max_h), Resampling[resample]) and
+    re-encode PNG — proven against a mock PIL shipped to the workers whose
+    fake image encodes every received argument into the output bytes."""
+    from pyspark.sql import functions as F2
+
+    from commoncrawlnewsdataset_spark.operators.multimodal import (
+        PIL_RESIZE_SCHEMA,
+        make_pil_resize_udf,
+    )
+
+    (tmp_path / "PIL.py").write_text(
+        "class _Resampling:\n"
+        "    LANCZOS = 'LANCZOS-MARKER'\n"
+        "class _Img:\n"
+        "    def __init__(self, data): self.data, self.size = data, (999, 999)\n"
+        "    def thumbnail(self, box, rs):\n"
+        "        self.box, self.rs, self.size = box, rs, box\n"
+        "    def save(self, buf, format=None):\n"
+        "        buf.write(self.data + ('|' + str(format) + '|' + str(self.box)\n"
+        "                  + '|' + str(self.rs)).encode())\n"
+        "class Image:\n"
+        "    Resampling = _Resampling\n"
+        "    @staticmethod\n"
+        "    def open(bio): return _Img(bio.read())\n"
+    )
+    spark.sparkContext.addPyFile(str(tmp_path / "PIL.py"))
+    media = spark.createDataFrame(
+        [("m1", b"RAWBYTES")], "media_id string, payload binary"
+    )
+    gen = make_pil_resize_udf(max_w=48, max_h=32)
+    row = media.mapInPandas(gen, PIL_RESIZE_SCHEMA).first()
+    assert (row["out_w"], row["out_h"]) == (48, 32)
+    assert bytes(row["resized"]) == b"RAWBYTES|PNG|(48, 32)|LANCZOS-MARKER"

@@ -289,7 +289,16 @@ def stream_dedup_corpus_to(
     3. only then are the survivors' fingerprints appended, stamped with the
        epoch.  A crash between 2 and 3 replays the epoch: step 1 keeps the
        rows, step 2 rewrites identical data, step 3 appends (duplicate
-       fingerprint rows for one epoch are harmless to an anti-join)."""
+       fingerprint rows for one epoch are harmless to an anti-join).
+
+    The (sink_dir, store_dir) pair is bound to ONE checkpoint lineage:
+    epoch ids are assigned by the streaming checkpoint, so pointing a
+    FRESH checkpoint_dir at an existing sink would restart ids at 0 and
+    overwrite prior epoch directories — standard foreachBatch epoch-id
+    semantics (a batch is identified by (checkpointLocation, epoch_id)).
+    Restarting with the SAME checkpoint_dir — the supported resume path —
+    continues the id sequence and is exactly what the protocol above is
+    built for."""
     import os
 
     from commoncrawlnewsdataset_spark.functions.extract import extract_articles

@@ -78,6 +78,19 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qv, k=20, n_planes=8, probe_hamming=2)
 
 
+def q_multi_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (recall amplification: T independent tables,
+    union of Hamming balls, exact rerank — the usable LSH operating point,
+    recall >= 0.9 pinned by test_multi_table_lsh_recall_floor; recall < 1
+    by design so no SQL oracle)."""
+    from commoncrawlnewsdataset_spark.operators.similarity import lsh_multi_table_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in row["embedding"]]
+    return lsh_multi_table_topk(emb, qv, k=20, n_tables=8, probe_hamming=2)
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (scale path #2; recall<1 by design, no oracle):
     k-means-refined centroids (Lloyd iterations as DataFrame aggregates),
@@ -344,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_pipeline": q_extract_pipeline,
             "quality_metrics_udf": q_quality_metrics_udf,
             "lsh_ann_topk": q_lsh_ann_topk,
+            "multi_lsh_ann_topk": q_multi_lsh_ann_topk,
             "ivf_ann_topk": q_ivf_ann_topk,
             "pq_ann_topk": q_pq_ann_topk,
             "opq_ann_topk": q_opq_ann_topk,

@@ -386,3 +386,50 @@ def int8_rescore_topk(
         .limit(shortlist)
     )
     return rescore_exact(emb, cand, query_vec, k, id_col, vec_col)
+
+
+def query_bits(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side twin of lsh_bucket_expr for the query vector."""
+    qbits = 0
+    for j, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qbits |= 1 << j
+    return qbits
+
+
+def lsh_multi_table_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_prefix: str | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """Multi-table sign-LSH (the classic recall amplification): T
+    independent hyperplane tables, candidates = UNION of per-table
+    Hamming-ball bucket matches, exact cosine rerank on the union.  If a
+    single table catches a true neighbor with probability p, T tables miss
+    it with (1-p)^T — recall climbs geometrically while probe cost grows
+    only with the union's size (overlapping balls don't double-pay: the
+    filter is one OR over T bit_counts in a single scan, and at 10^9+
+    vectors each stored bucket column partitions the table so the union is
+    a T-way partition-pruned read).  ``bucket_prefix``: name prefix of T
+    precomputed bucket columns (deployment shape — table t's planes use
+    seed + 101*t); None derives them in-plan (bench/test convenience)."""
+    df = emb
+    cond = None
+    for t in range(n_tables):
+        planes = hyperplanes(len(query_vec), n_planes, seed + 101 * t)
+        col = f"{bucket_prefix}{t}" if bucket_prefix else f"_mbkt{t}"
+        if not bucket_prefix:
+            df = df.withColumn(col, lsh_bucket_expr(F.col(vec_col), planes))
+        term = (
+            F.bit_count(F.col(col).bitwiseXOR(F.lit(query_bits(query_vec, planes))))
+            <= probe_hamming
+        )
+        cond = term if cond is None else (cond | term)
+    return brute_force_topk(df.filter(cond), query_vec, k, id_col, vec_col)

@@ -98,3 +98,22 @@ def test_rescore_recall_floor(spark):
         tot_i += len(got_i & truth)
     assert tot_b / (10 * len(qrows)) >= 0.9, "binary rescore recall floor broken"
     assert tot_i / (10 * len(qrows)) >= 0.9, "int8 rescore recall floor broken"
+
+
+def test_multi_table_lsh_recall_floor(spark):
+    """Multi-table LSH recall amplification lock: T=8 tables at Hamming
+    radius 2 must hold recall@10 >= 0.9 on the real embeddings table
+    (single-table tops out ~0.35 — the union of independent tables is what
+    makes LSH a usable operating point without a rescore column)."""
+    from commoncrawlnewsdataset_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    qrows = emb.filter(F.col("vec_id") % 100 == 1).orderBy("vec_id").limit(5).collect()
+    hit = 0
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth = {x["vec_id"] for x in S.brute_force_topk(emb, qv, 10).collect()}
+        got = {x["vec_id"] for x in S.lsh_multi_table_topk(
+            emb, qv, 10, n_tables=8, probe_hamming=2).collect()}
+        hit += len(got & truth)
+    assert hit / (10 * len(qrows)) >= 0.9

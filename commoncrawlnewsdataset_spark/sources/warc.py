@@ -68,27 +68,29 @@ def _split_http_payload(payload: bytes) -> tuple[dict[str, str], bytes]:
     return headers, payload[sep + 4 :]
 
 
-def _gunzip_all(raw: bytes) -> bytes:
-    """Decompress a possibly multi-member gzip stream (CC-style .warc.gz is
-    one gzip member per record).  A truncated or corrupt member SALVAGES
-    everything decompressed so far instead of raising: at corpus scale a
-    handful of damaged shards is routine, and an exception here would
-    escape the Arrow UDF and fail the whole task (4 retries, then the job)
-    for one bad member."""
+def _gunzip_members(data: bytes) -> tuple[bytes, bytes]:
+    """(decompressed, plain_tail): inflate consecutive gzip members
+    (CC-style .warc.gz is one member per record).  Stops at the first
+    non-gzip byte — that tail is returned VERBATIM so mixed shards (plain
+    records between gzip members, as concatenation tools produce) keep
+    parsing — or at a corrupt/truncated member, where everything
+    decompressed so far is SALVAGED and the unusable remainder dropped: at
+    corpus scale a handful of damaged shards is routine, and an exception
+    here would escape the Arrow UDF and fail the whole task (4 retries,
+    then the job) for one bad member."""
     import zlib
 
     out = io.BytesIO()
-    data = raw
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)  # one gzip member
         try:
             out.write(d.decompress(data))
         except zlib.error:
-            break  # corrupt member: keep everything before it
+            return out.getvalue(), b""  # corrupt member: keep what we have
         if not d.eof:
-            break  # truncated final member: partial bytes already salvaged
+            return out.getvalue(), b""  # truncated final member
         data = d.unused_data
-    return out.getvalue()
+    return out.getvalue(), data
 
 
 def iter_warc_records(raw: bytes):
@@ -101,17 +103,35 @@ def iter_warc_records(raw: bytes):
     remaining thousands for one of them is a real data loss)."""
 
     def _resync(buf: bytes, start: int) -> int:
-        idx = buf.find(b"WARC/", start)
-        return idx if idx >= 0 else len(buf)
+        # jump to the next plausible record start: WARC magic, or a gzip
+        # member (only reachable from a garbage region — valid payload
+        # bytes are consumed by content-length, never scanned, so embedded
+        # 1f8b inside a record body can't trigger a false split)
+        cands = [i for i in (buf.find(b"WARC/", start), buf.find(b"\x1f\x8b", start)) if i >= 0]
+        return min(cands) if cands else len(buf)
 
-    if raw[:2] == b"\x1f\x8b":
-        raw = _gunzip_all(raw)
     pos, n = 0, len(raw)
     while pos < n:
         while raw.startswith(b"\r\n", pos):
             pos += 2
         if pos >= n:
             break
+        if raw[pos : pos + 2] == b"\x1f\x8b":
+            # gzip member(s) at a record boundary: inflate them in place and
+            # keep parsing — handles .warc.gz wholesale AND mixed shards
+            # where plain and gzip members interleave
+            dec, tail = _gunzip_members(raw[pos:])
+            if not dec and not tail:
+                # nothing inflatable here: a FALSE magic inside a garbage
+                # region (or a corrupt member with no salvageable prefix) —
+                # resync past it instead of truncating what follows
+                pos = _resync(raw, pos + 2)
+                continue
+            raw = raw[:pos] + dec + tail
+            n = len(raw)
+            if raw[pos : pos + 2] == b"\x1f\x8b":
+                break  # corrupt member mid-stream: remainder unusable
+            continue
         end_hdr = raw.find(b"\r\n\r\n", pos)
         if end_hdr < 0:
             break

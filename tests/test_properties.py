@@ -226,3 +226,40 @@ def test_pack_sign_words_matches_numpy(spark):
     qb = (vecs[2] > 0).astype(np.uint8)
     for i, v in enumerate(vecs):
         assert hams[i] == int(((v > 0).astype(np.uint8) ^ qb).sum()), i
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.binary(min_size=0, max_size=40)),
+        min_size=1, max_size=5,
+    ),
+    st.binary(min_size=0, max_size=60),
+    st.integers(min_value=0, max_value=2),
+)
+def test_warc_parser_salvage_never_loses_clean_prefix(records_spec, noise, where):
+    """Fuzz the from-scratch WARC reader's salvage contract: for ANY mix of
+    gzip/plain members with ANY junk bytes injected after the first record
+    (or appended), parsing (a) never raises, (b) recovers at least every
+    record before the first corruption, and (c) never invents records."""
+    from commoncrawlnewsdataset_spark.sources.warc import (
+        build_response_record,
+        iter_warc_records,
+    )
+
+    recs = [
+        build_response_record(
+            f"https://f.example/{i}", "2024-01-01T00:00:00Z",
+            f"<urn:uuid:f{i}>", body or b"x", gzip_member=gz,
+        )
+        for i, (gz, body) in enumerate(records_spec)
+    ]
+    # inject noise at a record boundary (never inside record 0, so the
+    # clean-prefix guarantee is exactly "record 0 always survives")
+    cut = min(1 + where, len(recs))
+    blob = b"".join(recs[:cut]) + noise + b"".join(recs[cut:])
+    got = [r.header("WARC-Record-ID") for r in iter_warc_records(blob)]
+    expected_ids = [f"<urn:uuid:f{i}>" for i in range(len(recs))]
+    assert set(got) <= set(expected_ids)          # no invented records
+    assert got[:cut] == expected_ids[:cut]        # clean prefix survives
+    assert got == sorted(got, key=expected_ids.index)  # order preserved

@@ -126,3 +126,29 @@ def test_warc_salvage_corrupt_members_and_garbage():
     dirty = plain[0] + b"\x00\xffgarbage without crlf structure" + plain[1] + plain[2]
     got = [r.header("WARC-Record-ID") for r in iter_warc_records(dirty)]
     assert got == ["<urn:uuid:p0>", "<urn:uuid:p1>", "<urn:uuid:p2>"]
+
+
+def test_warc_mixed_plain_and_gzip_members():
+    """Mixed shards (concatenation tools interleave plain records and gzip
+    members) parse completely in BOTH directions, and a false gzip magic
+    inside a garbage region resyncs past instead of truncating the tail."""
+    from commoncrawlnewsdataset_spark.sources.warc import (
+        build_response_record,
+        iter_warc_records,
+    )
+
+    def rec(i, gz):
+        return build_response_record(
+            f"https://m.example/{i}", "2024-01-01T00:00:00Z",
+            f"<urn:uuid:m{i}>", f"body {i}".encode(), gzip_member=gz,
+        )
+
+    # plain -> gzip -> plain -> gzip
+    blob = rec(0, False) + rec(1, True) + rec(2, False) + rec(3, True)
+    got = [r.header("WARC-Record-ID") for r in iter_warc_records(blob)]
+    assert got == [f"<urn:uuid:m{i}>" for i in range(4)]
+
+    # garbage containing a false gzip magic, then a valid plain record
+    dirty = rec(0, False) + b"junk\x1f\x8bnot-really-gzip" + rec(1, False)
+    got = [r.header("WARC-Record-ID") for r in iter_warc_records(dirty)]
+    assert got == ["<urn:uuid:m0>", "<urn:uuid:m1>"]

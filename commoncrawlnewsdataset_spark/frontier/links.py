@@ -28,8 +28,12 @@ def extract_links(
     pages: DataFrame, src_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src, dst) absolute http(s) link edges from raw html."""
+    # cast, not decode: ANSI F.decode RAISES on invalid UTF-8 and one mojibake
+    # page would kill the whole link-discovery job — real crawl bytes are
+    # routinely malformed.  binary->string cast wraps the bytes unvalidated
+    # (identical result on valid UTF-8, best-effort regex match on the rest).
     hrefs = F.regexp_extract_all(
-        F.decode(F.col(html_col), "UTF-8"), F.lit(LINK_RE), 1
+        F.col(html_col).cast("string"), F.lit(LINK_RE), 1
     )
     exploded = pages.select(
         F.col(src_col).alias("src"), F.explode(hrefs).alias("href")

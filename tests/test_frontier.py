@@ -927,3 +927,17 @@ def test_crawl_order_returns_ordered_dataframe(spark, tmp_path):
     keys = [(r["wave"], -r["priority"], r["discovered_ts"], r["url"]) for r in rows]
     assert keys == sorted(keys)
     assert {r["url"] for r in rows} <= set(urls)
+
+
+def test_extract_links_survives_invalid_utf8(spark):
+    """Real crawl bytes are routinely malformed: a page with invalid UTF-8
+    must not kill the job (ANSI decode() raises) — links in the valid
+    portion are still extracted."""
+    from commoncrawlnewsdataset_spark.frontier.links import extract_links
+
+    bad = b'\xff\xfe<a href="https://x.example/a">ok</a>\x80\x81<a href="/rel">r</a>'
+    pages = spark.createDataFrame(
+        [("https://s.example/p", bad)], "url string, html binary"
+    )
+    got = {r["dst"] for r in extract_links(pages).collect()}
+    assert got == {"https://x.example/a", "https://s.example/rel"}

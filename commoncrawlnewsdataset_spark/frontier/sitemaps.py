@@ -44,7 +44,10 @@ def sitemap_seed_urls(
             "host",
             loc.alias("url"),
             F.lit(float(default_priority)).alias("priority"),
-            F.to_timestamp(F.nullif(lastmod, F.lit(""))).alias("discovered_ts"),
+            # try_to_timestamp, not to_timestamp: ANSI raises on a malformed
+            # <lastmod> and one garbage date in one sitemap would kill the
+            # whole seed-ingest job — NULL lets the caller default instead
+            F.try_to_timestamp(F.nullif(lastmod, F.lit(""))).alias("discovered_ts"),
         )
         .filter(F.col("url") != "")
     )

@@ -36,12 +36,20 @@ def _records_from_bytes(content: bytes) -> list[dict]:
     for rec in iter_warc_records(content):
         if rec.rec_type != "response":
             continue
+        # hostile/corrupt headers must not escape the UDF (one bad record
+        # would fail the task 4x and then the whole job): malformed
+        # WARC-Date coerces to null, malformed Content-Length to 0
+        ts = pd.to_datetime(rec.header("WARC-Date"), errors="coerce")
+        try:
+            clen = int(rec.header("Content-Length") or 0)
+        except ValueError:
+            clen = 0
         rows.append(
             {
                 "id": rec.header("WARC-Record-ID"),
                 "url": rec.header("WARC-Target-URI"),
-                "warc_ts": pd.to_datetime(rec.header("WARC-Date")).tz_localize(None),
-                "content_length": int(rec.header("Content-Length") or 0),
+                "warc_ts": None if ts is pd.NaT else ts.tz_localize(None),
+                "content_length": clen,
                 "mime_type": rec.http_header("Content-Type"),
                 "content": rec.content,
             }

@@ -941,3 +941,21 @@ def test_extract_links_survives_invalid_utf8(spark):
     )
     got = {r["dst"] for r in extract_links(pages).collect()}
     assert got == {"https://x.example/a", "https://s.example/rel"}
+
+
+def test_sitemap_seeds_survive_garbage_lastmod(spark):
+    """A malformed <lastmod> (hostile/sloppy webmasters) must yield NULL
+    discovered_ts, not an ANSI cast failure that kills the seed ingest."""
+    from commoncrawlnewsdataset_spark.frontier.sitemaps import sitemap_seed_urls
+
+    xml = ("<urlset>"
+           "<url><loc>https://h.example/good</loc>"
+           "<lastmod>2024-02-03</lastmod></url>"
+           "<url><loc>https://h.example/bad</loc>"
+           "<lastmod>not-a-date</lastmod></url>"
+           "</urlset>")
+    rows = {r["url"]: r["discovered_ts"] for r in sitemap_seed_urls(
+        spark.createDataFrame([("h.example", xml)], "host string, body string")
+    ).collect()}
+    assert rows["https://h.example/good"] is not None
+    assert rows["https://h.example/bad"] is None

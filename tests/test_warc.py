@@ -152,3 +152,22 @@ def test_warc_mixed_plain_and_gzip_members():
     dirty = rec(0, False) + b"junk\x1f\x8bnot-really-gzip" + rec(1, False)
     got = [r.header("WARC-Record-ID") for r in iter_warc_records(dirty)]
     assert got == ["<urn:uuid:m0>", "<urn:uuid:m1>"]
+
+
+def test_warc_pages_survive_hostile_headers():
+    """Malformed WARC-Date / garbage headers in a (salvaged) record must
+    not escape the scan UDF: the row surfaces with a NULL timestamp
+    instead of failing the task (and, 4 retries later, the job)."""
+    from commoncrawlnewsdataset_spark.sources.pages import _records_from_bytes
+    from commoncrawlnewsdataset_spark.sources.warc import build_response_record
+
+    good = build_response_record(
+        "https://h.example/ok", "2024-05-01T00:00:00Z", "<urn:uuid:ok>", b"fine",
+    )
+    bad_date = build_response_record(
+        "https://h.example/bad", "yesterday-ish", "<urn:uuid:bad>", b"still here",
+    )
+    rows = {r["id"]: r for r in _records_from_bytes(good + bad_date)}
+    assert rows["<urn:uuid:ok>"]["warc_ts"] is not None
+    assert rows["<urn:uuid:bad>"]["warc_ts"] is None  # coerced, not crashed
+    assert rows["<urn:uuid:bad>"]["content"] == b"still here"

@@ -51,9 +51,17 @@ def parse_robots_txt(host: str, body: str, agent: str = "*") -> list[dict]:
             cur["rules"].append((val, key == "allow"))
         elif key == "crawl-delay":
             try:
-                cur["delay"] = float(val)
+                d = float(val)
             except ValueError:
-                pass
+                continue
+            # hostile/broken values: float() happily parses 'nan'/'inf'/1e308,
+            # and nan poisons every max()/comparison downstream while inf
+            # starves the host forever — accept only sane finite delays
+            # (clamped to a day, the same ceiling a polite crawler would use)
+            import math
+
+            if math.isfinite(d) and d >= 0:
+                cur["delay"] = min(d, 86400.0)
 
     matching: list[dict] = []
     if agent != "*":

@@ -959,3 +959,20 @@ def test_sitemap_seeds_survive_garbage_lastmod(spark):
     ).collect()}
     assert rows["https://h.example/good"] is not None
     assert rows["https://h.example/bad"] is None
+
+
+def test_robots_crawl_delay_rejects_nan_inf(spark):
+    """float() parses 'nan'/'inf': a hostile Crawl-delay must not poison the
+    politeness math (nan breaks max(); inf starves the host forever) —
+    non-finite and negative delays are ignored, huge ones clamp to a day."""
+    from commoncrawlnewsdataset_spark.frontier.robots import parse_robots_txt
+
+    def delay_of(body):
+        rules = parse_robots_txt("h.example", body)
+        return rules[0]["crawl_delay_s"] if rules else None
+
+    assert delay_of("User-agent: *\nCrawl-delay: nan\nDisallow: /x\n") is None
+    assert delay_of("User-agent: *\nCrawl-delay: inf\nDisallow: /x\n") is None
+    assert delay_of("User-agent: *\nCrawl-delay: -5\nDisallow: /x\n") is None
+    assert delay_of("User-agent: *\nCrawl-delay: 1e308\nDisallow: /x\n") == 86400.0
+    assert delay_of("User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n") == 2.5

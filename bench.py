@@ -21,6 +21,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load at measurement time — recorded IN the artifact
+    because this box shares hardware: a run that overlaps external load
+    reads 20-50% slow on every query (adjudicated in NOTES_r4.md), and the
+    number lets a reader tell engine regressions from machine state."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [round(float(x), 2) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -30,6 +42,7 @@ def main() -> None:
     from commoncrawlnewsdataset_spark.plans.queries import spark_queries
     from commoncrawlnewsdataset_spark.session import get_spark
 
+    load_start = _loadavg()
     spark = get_spark("ccnews-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -121,6 +134,8 @@ def main() -> None:
                     "n_fetched": wave["n_fetched"],
                     "cpus": int(cpus),
                 },
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
             }
         )
     )

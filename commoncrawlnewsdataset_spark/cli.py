@@ -8,6 +8,7 @@ Usage (cluster):
 
 Subcommands:
     crawl     run crawl waves against a frontier state dir (resumable)
+    maintain  compact the frontier state + optionally expire covered deltas
     pipeline  run the extraction pipeline (03→08) pages -> star schema
     embed     embedding + quantization stage (09)
     bench     the headline benchmark (same as bench.py)
@@ -117,6 +118,31 @@ def _progress(args) -> None:
     print(json.dumps({"waves": len(waves), "checkpoints": runner.committed_checkpoints(), **total}))
 
 
+def _maintain(args) -> None:
+    """Iceberg-style table maintenance for a long-lived frontier, without
+    running waves: compact the resolved state into a checkpoint at the
+    last committed wave, then (with --expire) drop the raw wave deltas a
+    checkpoint covers — the 'rewrite_data_files + expire_snapshots' pair a
+    production crawl schedules between waves (BENCH/SOAK*.md measures both
+    inline; this exposes them standalone for cron-style operation)."""
+    from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
+    from commoncrawlnewsdataset_spark.session import get_spark
+
+    spark = get_spark("ccnews-maintain")
+    runner = WaveRunner(spark, args.state)
+    last = runner.last_wave()
+    if last < 0:
+        print(json.dumps({"error": "no committed waves in state dir"}))
+        return
+    compacted = runner.compact(last)
+    expired = runner.expire_snapshots() if args.expire else []
+    print(json.dumps({
+        "compacted_at_wave": compacted,
+        "expired_waves": len(expired),
+        "checkpoints": runner.committed_checkpoints(),
+    }))
+
+
 def _bench(args) -> None:
     from commoncrawlnewsdataset_spark.benchlib import frontier_wave_bench
     from commoncrawlnewsdataset_spark.session import get_spark
@@ -157,6 +183,12 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--out", required=True)
     e.add_argument("--dim", type=int, default=64)
     e.set_defaults(fn=_embed)
+
+    m = sub.add_parser("maintain")
+    m.add_argument("--state", required=True)
+    m.add_argument("--expire", action="store_true",
+                   help="also drop raw deltas covered by the checkpoint")
+    m.set_defaults(fn=_maintain)
 
     pr = sub.add_parser("progress")
     pr.add_argument("--state", required=True)

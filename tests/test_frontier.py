@@ -976,3 +976,33 @@ def test_robots_crawl_delay_rejects_nan_inf(spark):
     assert delay_of("User-agent: *\nCrawl-delay: -5\nDisallow: /x\n") is None
     assert delay_of("User-agent: *\nCrawl-delay: 1e308\nDisallow: /x\n") == 86400.0
     assert delay_of("User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n") == 2.5
+
+
+def test_cli_maintain_compacts_and_preserves_resume(spark, tmp_path, capsys):
+    """`cli maintain --expire` compacts the frontier state and drops covered
+    deltas; lineage (manifests) survives, and the state still resolves for
+    a subsequent crawl resume — the cron-style maintenance path."""
+    import json as js
+
+    from commoncrawlnewsdataset_spark import cli
+
+    runner = WaveRunner(
+        spark, str(tmp_path / "st"), per_host_budget=10, nsalt=2,
+        use_robots=False, fetcher=lambda u, r: (True, 1, 10),
+    )
+    urls = [f"https://h{i % 2}.example.org/p/{i}" for i in range(20)]
+    runner.load_seeds(_parity_seeds(spark, urls))
+    runner.run_wave()
+    runner.run_wave()
+
+    cli.main(["maintain", "--state", str(tmp_path / "st"), "--expire"])
+    out = js.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_at_wave"] >= 0 and out["expired_waves"] >= 1
+
+    # the compacted state is still the full truth
+    st = runner.state()
+    assert st.filter(F.col("status") == "fetched").count() == 20
+    # and maintain on an empty dir reports instead of raising
+    cli.main(["maintain", "--state", str(tmp_path / "empty")])
+    err = js.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err

@@ -547,3 +547,79 @@ def test_spark_submit_pyfiles_ships_the_engine(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     rows = [l for l in out.stdout.splitlines() if l.startswith("SUBMIT_ROWS=")]
     assert rows and int(rows[0].split("=")[1]) > 0
+
+
+def test_stream_dedup_stop_and_restart_resumes_epochs(spark, tmp_path):
+    """Integration: stop the dedup stream mid-source (one file per trigger,
+    processed-file limit), then RESTART with the same checkpoint — epoch
+    ids continue, already-committed epochs are not rewritten, and the final
+    corpus is complete and duplicate-free across the restart boundary."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawlnewsdataset_spark.streaming.ingest import (
+        stream_dedup_corpus_to,
+        stream_pages,
+    )
+
+    def page(url, body):
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        return (url, 0, html, None, None)
+
+    batches = [
+        [page("https://h.example/u1", "alpha body")],
+        [page("https://h.example/u2", "alpha body"),     # cross-run dup
+         page("https://h.example/u3", "beta body")],
+        [page("https://h.example/u4", "gamma body")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+
+    def write_batch(i, rows):
+        tbl = pa.table(
+            {k: pa.array(v, schema.field(k).type)
+             for k, v in zip(schema.names, map(list, zip(*rows)))},
+            schema=schema,
+        )
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store, sink, ck = (str(tmp_path / d) for d in ("store", "sink", "ck"))
+
+    # RUN 1: only the first file exists; availableNow drains it and stops
+    write_batch(0, batches[0])
+    q1 = stream_dedup_corpus_to(stream_pages(spark, src, max_files_per_trigger=1),
+                                store, sink, ck)
+    q1.awaitTermination(120)
+    epochs_run1 = {d for d in os.listdir(sink) if d.startswith("epoch=")}
+    assert epochs_run1  # at least one committed epoch
+    mtimes = {d: os.path.getmtime(os.path.join(sink, d, "_SUCCESS"))
+              for d in epochs_run1}
+
+    # RUN 2: two more files appear; SAME checkpoint resumes the id sequence
+    write_batch(1, batches[1])
+    write_batch(2, batches[2])
+    time.sleep(1.1)  # mtime resolution guard for the rewrite check
+    q2 = stream_dedup_corpus_to(stream_pages(spark, src, max_files_per_trigger=1),
+                                store, sink, ck)
+    q2.awaitTermination(120)
+
+    epochs_run2 = {d for d in os.listdir(sink) if d.startswith("epoch=")}
+    assert epochs_run2 > epochs_run1  # new epochs appended, old ones kept
+    for d in epochs_run1:  # committed epochs were NOT rewritten on restart
+        assert os.path.getmtime(os.path.join(sink, d, "_SUCCESS")) == mtimes[d]
+
+    got = {(r["url"], r["text"]) for r in
+           spark.read.parquet(sink).select("url", "text").collect()}
+    assert got == {
+        ("https://h.example/u1", "alpha body"),   # run-1 content kept
+        ("https://h.example/u3", "beta body"),    # new content delivered
+        ("https://h.example/u4", "gamma body"),
+    }  # u2 deduped against run 1's fingerprints, across the restart

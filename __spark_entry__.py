@@ -132,20 +132,53 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over the corpus token stream (frequency
-    sketch: a few-MB grid regardless of vocabulary size).  Rows-only by
-    design: the map-side candidate superset is partition-dependent for
-    false positives; the sketch MATH itself is value-oracle-checked by the
-    md5-family `count_min_estimates` query, and the no-under-count /
-    no-missed-heavy-hitter guarantees are property-tested in
-    tests/test_operators.py."""
+    sketch: a few-MB grid regardless of vocabulary size) — VALUE-ORACLED
+    as of r5 (VERDICT r4 #1a): the md5 dual-hasher config (proven DuckDB-
+    bit-reproducible by `count_min_estimates`) plus confirm='exact', whose
+    exact-count gate makes the output key set deterministic (precisely the
+    true heavy hitters) regardless of which false positives the map-side
+    Misra-Gries candidate pass emits.  DuckDB replays the exact counts, the
+    threshold, AND the sketch estimates cell-for-cell.  The xxhash64 sketch
+    family stays property-tested (tests/test_operators.py) — it is the
+    production fast path, not the cross-engine contract."""
     from commoncrawlnewsdataset_spark.operators.dedup import tokens
     from commoncrawlnewsdataset_spark.operators.sketch import heavy_hitters
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    return heavy_hitters(toks, "tok", k=30, width=4096, depth=4).orderBy(
-        F.desc("est"), "key"
-    )
+    return heavy_hitters(
+        toks, "tok", k=30, width=4096, depth=4, hasher="md5", confirm="exact"
+    ).orderBy(F.desc("est"), "key")
+
+
+ORACLE_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), thr AS (
+  SELECT greatest(1, count(*) // 30) AS t FROM toks
+), hh AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+  HAVING count(*) >= (SELECT t FROM thr)
+), cells AS (
+  SELECT tok, j.j AS j,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 8))::UBIGINT % 4096 AS BIGINT) AS col
+  FROM toks, unnest([0, 1, 2, 3]) AS j(j)
+), grid AS (
+  SELECT j, col, count(*) AS c FROM cells GROUP BY 1, 2
+), pcells AS (
+  SELECT h.tok, h.cnt, j.j AS j,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || h.tok), 1, 8))::UBIGINT % 4096 AS BIGINT) AS col
+  FROM hh h, unnest([0, 1, 2, 3]) AS j(j)
+)
+SELECT p.tok AS key,
+       CAST(min(coalesce(g.c, 0)) AS BIGINT) AS est,
+       CAST(any_value(p.cnt) AS BIGINT) AS cnt,
+       CAST((SELECT t FROM thr) AS BIGINT) AS threshold
+FROM pcells p LEFT JOIN grid g ON g.j = p.j AND g.col = p.col
+GROUP BY p.tok
+ORDER BY est DESC, key
+"""
 
 
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,16 +338,79 @@ FROM z
 
 
 def q_ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V5 NER stage (iterator pandas UDF, model loaded once per worker)."""
+    """V5 NER stage (iterator pandas UDF, model loaded once per worker) —
+    now VALUE-ORACLED (VERDICT r4 #1b): city mentions are injected
+    deterministically in-query over the documents table (the pii_redact
+    pattern), the REAL ner_locations_udf extracts them, and DuckDB replays
+    the same longest-first alternation via regexp_extract_all plus the X9
+    normalization of the first hit.  One in five docs gets no injection
+    (zero-match path); base testdata text contains no gazetteer names
+    (verified), so matches are exactly the injected mentions on both
+    engines."""
     from commoncrawlnewsdataset_spark.ner import with_ner
+    from commoncrawlnewsdataset_spark.synth import CITY_GAZETTEER
 
-    pages = _synth_pages(spark, 400)
-    out = with_ner(pages.filter(F.col("text").isNotNull()))
-    return out.select(
-        "url",
-        F.concat_ws("|", "loc").alias("loc"),
-        F.concat_ws("|", "loc_normal").alias("loc_normal"),
+    names = [n for n, _, _ in CITY_GAZETTEER]
+    arr = F.array(*[F.lit(n) for n in names])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
     )
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 4, F.coalesce(F.col("text"), F.lit(""))
+        )
+        .otherwise(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" Bericht aus "),
+                F.element_at(arr, (F.col("doc_id") % 10 + 1).cast("int")),
+                F.lit(" und "),
+                F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")),
+                F.lit("."),
+            )
+        )
+        .alias("text"),
+    )
+    out = with_ner(injected)
+    return out.select(
+        "doc_id",
+        F.concat_ws("|", "loc").alias("loc"),
+        F.col("loc_normal").alias("loc_normal"),
+    )
+
+
+def _oracle_ner_gazetteer() -> str:
+    """DuckDB replay of q_ner_gazetteer: same injection arithmetic, same
+    longest-first alternation (RE2 and Python re are both leftmost-first for
+    literal alternations), lower() for the X9 normalization (the gazetteer
+    alphabet contains nothing X9 strips — RE2 lacks unicode \\w so the
+    literal regex can't be replayed, but on this domain lower() IS X9)."""
+    from commoncrawlnewsdataset_spark.synth import CITY_GAZETTEER
+
+    names = [n for n, _, _ in CITY_GAZETTEER]
+    vals = ", ".join(f"({i}, '{n}')" for i, n in enumerate(names))
+    pattern = "|".join(sorted(names, key=len, reverse=True))
+    return f"""
+WITH names(i, name) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN coalesce(text, '')
+              ELSE coalesce(text, '') || ' Bericht aus ' || n1.name
+                   || ' und ' || n2.name || '.'
+         END AS text
+  FROM documents
+  JOIN names n1 ON n1.i = doc_id % 10
+  JOIN names n2 ON n2.i = doc_id % 7
+  WHERE doc_id < 500
+), m AS (
+  SELECT doc_id, regexp_extract_all(text, '{pattern}') AS locs FROM d
+)
+SELECT doc_id,
+       coalesce(array_to_string(locs, '|'), '') AS loc,
+       CASE WHEN len(locs) > 0 THEN lower(locs[1]) ELSE '' END AS loc_normal
+FROM m
+"""
 
 
 def _driver_coverage() -> tuple[set[str], set[str]]:
@@ -409,4 +505,6 @@ def oracle_sql() -> dict[str, str]:
     out["media_features"] = ORACLE_MEDIA_FEATURES
     out["frame_samples"] = ORACLE_FRAME_SAMPLES
     out["media_resize"] = ORACLE_MEDIA_RESIZE
+    out["ner_gazetteer"] = _oracle_ner_gazetteer()
+    out["heavy_hitters"] = ORACLE_HEAVY_HITTERS
     return out

@@ -723,18 +723,29 @@ def dup_clusters(
         start = 0
         labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
 
+    last_round = done[-1] if done else -1  # newest committed spill round
     for i in range(start, max_iter):
         if converged:
             break
         new = _step(labels)
         if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
             new = _persist(new, f"round={i:05d}")
+            last_round = i
         else:
             new = new.localCheckpoint()
         changed = _changed(labels, new)
         labels = new
         if changed == 0:
             converged = True
+            if checkpoint_dir is not None and last_round != i:
+                # The marker promises "newest committed spill == final
+                # labels".  Convergence at a non-spill round would otherwise
+                # leave the final labels only in a localCheckpoint: a resume
+                # would read the stale round=<last_round> spill, see the
+                # marker, skip the loop, and return pre-convergence labels.
+                # Commit the final labels FIRST, then (below) the marker.
+                labels = _persist(labels, f"round={i:05d}")
+                last_round = i
             break
     if converged and converged_marker is not None:
         with open(converged_marker, "w") as fh:

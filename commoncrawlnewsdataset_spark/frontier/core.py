@@ -177,3 +177,76 @@ def filter_unseen(
     needs_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = needs_check.join(fetched_urls, url_col, "left_anti")
     return definitely_new.unionByName(confirmed_new)
+
+
+def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR two shard sets built with the SAME (num_shards, m_bits):
+    bloom membership is monotone, so OR-ing word arrays is exact set union.
+    Both inputs are <= num_shards rows — the join is trivial; this is what
+    makes the seen-set bloom INCREMENTAL (checkpoint shards built once at
+    compaction + per-wave delta shards), instead of re-shuffling the full
+    fetched set every wave."""
+    aa = a.withColumnsRenamed({"words": "_wa"})
+    bb = b.withColumnsRenamed({"words": "_wb"})
+    return aa.join(bb, "shard", "full").select(
+        "shard",
+        F.when(F.col("_wa").isNull(), F.col("_wb"))
+        .when(F.col("_wb").isNull(), F.col("_wa"))
+        .otherwise(F.zip_with("_wa", "_wb", lambda x, y: x.bitwiseOR(y)))
+        .alias("words"),
+    )
+
+
+def filter_unseen_split(
+    candidates: DataFrame,
+    big_seen: DataFrame,
+    small_seen: DataFrame | None,
+    url_col: str = "url",
+    use_bloom: bool = True,
+    num_shards: int = 16,
+    big_shards: DataFrame | None = None,
+    m_bits_per_shard: int | None = None,
+) -> DataFrame:
+    """The URL-seen gate with the seen set SPLIT into a big component (the
+    compacted frontier checkpoint — ideally a table bucketed on url) and a
+    small recent component (deltas since compaction, wave-bounded).
+
+    Scale shape vs plain filter_unseen(candidates, big ∪ small):
+
+    - the anti-join against the small component broadcasts it — no shuffle;
+    - the anti-join against the big component puts the ONLY Exchange on the
+      candidate side: when ``big_seen`` scans a bucketed+sorted table the
+      SortMergeJoin's right side needs no Exchange and no Sort (a plain
+      union-then-anti re-shuffles the FULL seen set — O(frontier) shuffle
+      bytes per wave, the 100-TB killer);
+    - with ``big_shards`` (bloom shards persisted at compaction) the bloom
+      build shuffles only the small component each wave, then ORs the two
+      shard sets (merge_bloom_shards) — the full-set bloom rebuild was the
+      other per-wave O(frontier) shuffle.
+
+    Output is provably identical to filter_unseen over the union: bloom has
+    no false negatives and positives are exactly re-checked; X ANTI (A ∪ B)
+    == (X ANTI A) ANTI B."""
+    big_urls = big_seen.select(url_col)
+    small_urls = small_seen.select(url_col).distinct() if small_seen is not None else None
+
+    def _backstop(cands: DataFrame) -> DataFrame:
+        out = cands
+        if small_urls is not None:
+            out = out.join(F.broadcast(small_urls), url_col, "left_anti")
+        return out.join(big_urls, url_col, "left_anti")
+
+    if not use_bloom:
+        return _backstop(candidates)
+    shards = big_shards if big_shards is not None else build_bloom_shards(
+        big_urls, url_col, num_shards, m_bits_per_shard
+    )
+    if small_urls is not None:
+        shards = merge_bloom_shards(
+            shards,
+            build_bloom_shards(small_urls, url_col, num_shards, m_bits_per_shard),
+        )
+    probed = bloom_probe(candidates, shards, url_col, num_shards, m_bits_per_shard)
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new.unionByName(_backstop(needs_check))

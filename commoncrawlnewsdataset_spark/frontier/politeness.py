@@ -178,21 +178,16 @@ def politeness_debt_batch(
     )
 
 
-def wave_order(selected: DataFrame) -> DataFrame:
-    """Deterministic global fetch order within a wave: interleave hosts by
-    per-host rank first (fair scheduling), then the total order columns.
-    Adds `wave_seq` (1-based global sequence).
-
-    Scale-safe two-phase form (same shape as packing.global_cumsum): range
+def ranged_row_number(df: DataFrame, keys: list, out_col: str) -> DataFrame:
+    """Exact global 1-based row_number over ``keys`` with NO unpartitioned
+    window over full data (same shape as packing.global_cumsum): range
     partition by the sort keys, row_number within each partition, broadcast
-    per-partition count offsets — never a no-partition global window (which
-    would run the whole wave through a single task).  RangePartitioner
-    guarantees partition i holds strictly-earlier keys than i+1, so local
-    rank + offset IS the exact global row_number."""
-    keys = [F.asc("rank"), *order_cols()]
-    part = selected.repartitionByRange(*keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    per-partition count offsets.  RangePartitioner guarantees partition i
+    holds strictly-earlier keys than i+1, so local rank + offset IS the
+    exact global row_number.  The only no-partition window runs over the
+    one-row-per-partition totals — bounded by the partition count, never by
+    the data."""
+    part = df.repartitionByRange(*keys).withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*keys)
     local = part.withColumn("_local", F.row_number().over(w_local))
     totals = local.groupBy("_pid").agg(F.count("*").alias("_n"))
@@ -202,6 +197,15 @@ def wave_order(selected: DataFrame) -> DataFrame:
     ).select("_pid", "_off")
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn("wave_seq", (F.col("_local") + F.col("_off")).cast("long"))
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
         .drop("_pid", "_local")
     )
+
+
+def wave_order(selected: DataFrame) -> DataFrame:
+    """Deterministic global fetch order within a wave: interleave hosts by
+    per-host rank first (fair scheduling), then the total order columns.
+    Adds `wave_seq` (1-based global sequence) via the scale-safe two-phase
+    ranged_row_number — never a no-partition global window (which would
+    run the whole wave through a single task)."""
+    return ranged_row_number(selected, [F.asc("rank"), *order_cols()], "wave_seq")

@@ -205,6 +205,20 @@ class WaveRunner:
     # being discarded.  Use a payload-returning fetcher
     # (make_http_fetcher(keep_content=True) / simulated_fetch_with_payload).
     page_sink_dir: str | None = None
+    # VERDICT r4 #4 — scale-state mode: when set, compact() writes the
+    # checkpoint as a parquet table BUCKETED+SORTED on url (this many
+    # buckets; pick for the TARGET scale, e.g. 4096 ≈ 25 GB/bucket at
+    # 100 TB) and persists the seen-set bloom shards next to it.  Every
+    # recurring per-wave join against the frontier then compiles with NO
+    # Exchange on the frontier side: the URL-seen exact backstop and the
+    # discovery gate SortMergeJoin against the bucketed scan (only the
+    # wave-bounded candidate side shuffles), and the bloom build touches
+    # only the post-compaction deltas (merge_bloom_shards) instead of
+    # re-shuffling the full fetched set each wave.  The checkpoint files
+    # stay plain parquet at the same protocol path — non-bucketed readers
+    # and resume are unaffected (the catalog entry is re-registered on
+    # demand after a restart).
+    bucket_state: int | None = None
 
     # ---- snapshot log -----------------------------------------------------
 
@@ -269,14 +283,40 @@ class WaveRunner:
         removes the covered deltas; expiration clamps its horizon to a
         committed checkpoint, so every SURVIVING wave always resolves from a
         checkpoint at-or-below it plus intact deltas."""
+        ckpt_df, resolved_deltas, _ = self._snapshot_parts(upto_wave)
+        if ckpt_df is None:
+            if resolved_deltas is None:
+                raise ValueError(f"no committed waves in {self.state_dir}")
+            return resolved_deltas
+        if resolved_deltas is None:
+            return ckpt_df
+        # A wave's delta is bounded by the politeness budget + link fan-out —
+        # orders of magnitude smaller than a 10^10-url frontier — so the url
+        # set broadcasts and the checkpoint side stays Exchange-free.  If a
+        # delta ever outgrew broadcast, drop the hint and AQE falls back to a
+        # shuffled anti-join (still O(frontier) I/O but only one shuffle).
+        untouched = ckpt_df.join(
+            F.broadcast(resolved_deltas.select("url")), "url", "left_anti"
+        )
+        return untouched.unionByName(resolved_deltas.select(*untouched.columns))
+
+    def _snapshot_parts(
+        self, upto_wave: int | None = None
+    ) -> tuple[DataFrame | None, DataFrame | None, int | None]:
+        """(checkpoint_df, resolved_deltas, ckpt_wave) — the components
+        state() composes.  Exposed separately because the per-wave gates
+        want them SPLIT: the checkpoint side is huge (and, in bucket_state
+        mode, a bucketed scan that joins Exchange-free) while the delta
+        side is wave-bounded and broadcastable (filter_unseen_split)."""
         waves = self.committed_waves()
         if upto_wave is not None:
             waves = [w for w in waves if w <= upto_wave]
         base = [c for c in self.committed_checkpoints() if not waves or c <= max(waves, default=-1)]
-        ckpt_path = None
+        ckpt_df = None
+        ckpt = None
         if base and (upto_wave is None or base[-1] <= upto_wave):
             ckpt = base[-1]
-            ckpt_path = os.path.join(self._checkpoint_dir(ckpt), "state.parquet")
+            ckpt_df = self._read_checkpoint(ckpt)
             waves = [w for w in waves if w > ckpt]
         delta_paths = [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
 
@@ -289,22 +329,35 @@ class WaveRunner:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        if ckpt_path is None:
-            if resolved_deltas is None:
-                raise ValueError(f"no committed waves in {self.state_dir}")
-            return resolved_deltas
-        ckpt_df = self.spark.read.parquet(ckpt_path)
-        if resolved_deltas is None:
-            return ckpt_df
-        # A wave's delta is bounded by the politeness budget + link fan-out —
-        # orders of magnitude smaller than a 10^10-url frontier — so the url
-        # set broadcasts and the checkpoint side stays Exchange-free.  If a
-        # delta ever outgrew broadcast, drop the hint and AQE falls back to a
-        # shuffled anti-join (still O(frontier) I/O but only one shuffle).
-        untouched = ckpt_df.join(
-            F.broadcast(resolved_deltas.select("url")), "url", "left_anti"
-        )
-        return untouched.unionByName(resolved_deltas.select(*untouched.columns))
+        return ckpt_df, resolved_deltas, ckpt
+
+    def _ckpt_table_name(self, upto: int) -> str:
+        import zlib
+
+        tag = zlib.crc32(os.path.abspath(self.state_dir).encode()) & 0xFFFFFFFF
+        return f"ccn_state_{tag:08x}_{upto:05d}"
+
+    def _read_checkpoint(self, upto: int) -> DataFrame:
+        """Checkpoint scan: plain parquet normally; in bucket_state mode the
+        catalog table (re-registered after a restart via CREATE TABLE ...
+        CLUSTERED BY ... LOCATION — the files are the same parquet, only the
+        layout metadata lives in the catalog), so downstream joins on url
+        see the bucketed distribution and skip their Exchange+Sort."""
+        path = os.path.join(self._checkpoint_dir(upto), "state.parquet")
+        if not self.bucket_state:
+            return self.spark.read.parquet(path)
+        tbl = self._ckpt_table_name(upto)
+        if not self.spark.catalog.tableExists(tbl):
+            schema = self.spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (url) SORTED BY (url) "
+                f"INTO {self.bucket_state} BUCKETS LOCATION '{path}'"
+            )
+        return self.spark.table(tbl)
 
     def fork(self, new_state_dir: str, upto_wave: int | None = None) -> "WaveRunner":
         """Resume mid-crawl from ANY snapshot (north_rule): materialize the
@@ -382,12 +435,69 @@ class WaveRunner:
         is a read optimization, raw deltas remain the source of truth."""
         upto = self.last_wave() if upto_wave is None else upto_wave
         out = self._checkpoint_dir(upto)
-        self.state(upto_wave=upto).write.mode("overwrite").parquet(
-            os.path.join(out, "state.parquet")
-        )
+        state_path = os.path.join(out, "state.parquet")
+        snap = self.state(upto_wave=upto)
+        if self.bucket_state:
+            # bucketed+sorted on url (VERDICT r4 #4): the shuffle is paid
+            # once here and every later per-wave join against the frontier
+            # side compiles Exchange-free.  Files are plain parquet at the
+            # protocol path; only the layout metadata lives in the catalog.
+            tbl = self._ckpt_table_name(upto)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                snap.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(self.bucket_state, "url")
+                .sortBy("url")
+                .option("path", state_path)
+                .saveAsTable(tbl)
+            )
+            if self.use_bloom:
+                self._write_ckpt_bloom(upto, state_path)
+        else:
+            snap.write.mode("overwrite").parquet(state_path)
         with open(os.path.join(out, "_COMMITTED"), "w") as f:
             f.write(str(upto))
         return upto
+
+    def _write_ckpt_bloom(self, upto: int, state_path: str) -> None:
+        """Persist the seen-set bloom shards next to the checkpoint, sized
+        to the fetched count (2x headroom for post-compaction growth): the
+        per-wave gate then builds shards over the DELTAS only and ORs them
+        in (merge_bloom_shards) — without this, every wave re-shuffles the
+        full fetched set just to rebuild an identical bloom."""
+        from commoncrawlnewsdataset_spark.frontier.core import (
+            bloom_num_bits,
+            build_bloom_shards,
+        )
+
+        out = self._checkpoint_dir(upto)
+        fetched = (
+            self.spark.read.parquet(state_path)
+            .filter(F.col("status") == "fetched")
+            .select("url")
+        )
+        n = fetched.count()
+        num_shards = 16
+        m = bloom_num_bits(max(1024, (2 * n) // num_shards + 1))
+        build_bloom_shards(
+            fetched, "url", num_shards, m_bits_per_shard=m
+        ).write.mode("overwrite").parquet(os.path.join(out, "bloom.parquet"))
+        with open(os.path.join(out, "bloom_meta.json"), "w") as f:
+            json.dump({"num_shards": num_shards, "m_bits_per_shard": m}, f)
+
+    def _ckpt_bloom(self, upto: int | None):
+        """(shards_df, meta) for a committed checkpoint's persisted bloom,
+        or None when absent/not in bucket_state mode."""
+        if upto is None or not self.use_bloom:
+            return None
+        out = self._checkpoint_dir(upto)
+        meta_path = os.path.join(out, "bloom_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return self.spark.read.parquet(os.path.join(out, "bloom.parquet")), meta
 
     def expire_snapshots(self, keep_waves_after: int | None = None) -> list[int]:
         """Iceberg ``expire_snapshots`` analog: drop raw wave deltas covered
@@ -446,12 +556,17 @@ class WaveRunner:
 
     # ---- one wave ----------------------------------------------------------
 
-    def select_wave(self, state: DataFrame) -> DataFrame:
+    def select_wave(self, state: DataFrame, parts=None) -> DataFrame:
         """Politeness-budgeted, robots-gated, dedup-guarded wave selection.
 
         No global ordering here: a total wave_seq would be a single-partition
         window (wave_order is display-only); the deterministic ORDER CONTRACT
-        (priority desc, discovered_ts, url) is what parity relies on."""
+        (priority desc, discovered_ts, url) is what parity relies on.
+
+        ``parts`` (from _snapshot_parts) switches the URL-seen gate to the
+        SPLIT form in bucket_state mode: checkpoint side joined as a
+        bucketed scan with zero Exchange, delta side broadcast, bloom built
+        incrementally from the persisted checkpoint shards."""
         pending = state.filter(F.col("status") == "pending")
         host_budgets = None
         if self.use_robots and self.robots_rules is not None:
@@ -485,8 +600,35 @@ class WaveRunner:
                         ).alias("budget"),
                     )
                 )
-        fetched = state.filter(F.col("status") == "fetched").select("url")
-        unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
+        ckpt_df = parts[0] if parts is not None else None
+        if self.bucket_state and ckpt_df is not None:
+            from commoncrawlnewsdataset_spark.frontier.core import (
+                filter_unseen_split,
+            )
+
+            _, deltas, ckpt_wave = parts
+            big_seen = ckpt_df.filter(F.col("status") == "fetched").select("url")
+            small_seen = (
+                deltas.filter(F.col("status") == "fetched").select("url")
+                if deltas is not None
+                else None
+            )
+            # 'fetched' is terminal (requeue moves failed->pending only), so
+            # ckpt_fetched ∪ delta_fetched IS the resolved fetched set — no
+            # subtraction of superseded checkpoint rows needed
+            bloom = self._ckpt_bloom(ckpt_wave)
+            unseen = filter_unseen_split(
+                pending,
+                big_seen,
+                small_seen,
+                use_bloom=self.use_bloom,
+                num_shards=bloom[1]["num_shards"] if bloom else 16,
+                big_shards=bloom[0] if bloom else None,
+                m_bits_per_shard=bloom[1]["m_bits_per_shard"] if bloom else None,
+            )
+        else:
+            fetched = state.filter(F.col("status") == "fetched").select("url")
+            unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
         return politeness_rank(unseen, self.per_host_budget, self.nsalt, host_budgets)
 
     def _fetch(self, selected: DataFrame) -> DataFrame:
@@ -574,8 +716,9 @@ class WaveRunner:
         separate pre-count: emptiness is detected from the metrics."""
         wave = self.last_wave() + 1
         t0 = time.time()
+        parts = self._snapshot_parts() if self.bucket_state else None
         state = self.state().cache()  # one snapshot resolution per wave
-        selected = self.select_wave(state)
+        selected = self.select_wave(state, parts)
 
         results = self._fetch(selected)
         if self.page_sink_dir is not None:
@@ -645,7 +788,6 @@ class WaveRunner:
                 src_rows = outcome.filter(F.col("status") == "fetched")
             discovered = self.link_expander(src_rows)
             keyed = with_frontier_keys(discovered)
-            known = state.select("url").unionByName(outcome.select("url"))
             # Deterministic representative per discovered url (NOT
             # dropDuplicates, which picks an arbitrary row under parallelism):
             # priority feeds politeness ranking, so crawl order / resume
@@ -653,8 +795,27 @@ class WaveRunner:
             dw = Window.partitionBy("url").orderBy(
                 F.desc("priority"), F.asc("discovered_ts"), F.asc("url")
             )
+            if self.bucket_state and parts is not None and parts[0] is not None:
+                # split gate: the frontier-sized component joins as the
+                # bucketed checkpoint scan (no Exchange); only the
+                # wave-bounded component (deltas + this wave's outcomes)
+                # broadcasts
+                from commoncrawlnewsdataset_spark.frontier.core import (
+                    filter_unseen_split,
+                )
+
+                ckpt_df, deltas, _ = parts
+                known_small = outcome.select("url")
+                if deltas is not None:
+                    known_small = known_small.unionByName(deltas.select("url"))
+                gated = filter_unseen_split(
+                    keyed, ckpt_df.select("url"), known_small, use_bloom=False
+                )
+            else:
+                known = state.select("url").unionByName(outcome.select("url"))
+                gated = filter_unseen(keyed, known, use_bloom=False)
             fresh = (
-                filter_unseen(keyed, known, use_bloom=False)
+                gated
                 .withColumn("_rn", F.row_number().over(dw))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
@@ -724,16 +885,23 @@ class WaveRunner:
         (wave, then the deterministic ordering contract: priority DESC,
         discovered_ts, url) with a global ``seq`` rank.  Returns a DataFrame
         — never a driver-side list — because at 10^10 urls the order is a
-        dataset, not a value; consumers limit/write it themselves.  The
-        global row_number is a single total order by construction (the sort
-        key is unique per url), evaluated only if the consumer actually asks
-        for ``seq``."""
-        w = Window.orderBy(
-            "wave", F.desc("priority"), F.asc("discovered_ts"), F.asc("url")
+        dataset, not a value; consumers limit/write it themselves.  ``seq``
+        is the exact global row_number (the sort key is unique per url),
+        computed by the range-partitioned two-phase ranged_row_number
+        (VERDICT r4 #3): a bare no-partition window rank would move every
+        fetched url through a single task — the same funnel class as a
+        collect()."""
+        from commoncrawlnewsdataset_spark.frontier.politeness import (
+            ranged_row_number,
         )
-        return (
+
+        keys = [
+            F.asc("wave"), F.desc("priority"), F.asc("discovered_ts"), F.asc("url")
+        ]
+        return ranged_row_number(
             self.state()
             .filter(F.col("status").isin("fetched", "failed"))
-            .select("wave", "priority", "discovered_ts", "url", "status")
-            .withColumn("seq", F.row_number().over(w).cast("long"))
+            .select("wave", "priority", "discovered_ts", "url", "status"),
+            keys,
+            "seq",
         )

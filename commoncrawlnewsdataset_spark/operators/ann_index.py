@@ -1,0 +1,154 @@
+"""Composed ANN index: IVF pruning x OPQ/ADC codes x exact rescore — ONE
+index object (VERDICT r4 #6).
+
+The reference hands its users a single index handle per precision level
+(Example_Usage/Semantic_search_f32.py:21 `Index(ndim=.., metric='cos')`,
+10_vector_database.py:14-30) — not three primitives to compose by hand.
+This is the Spark-first equivalent at the 10^9-vector shape BENCH/ANN.md
+prescribes ("combine them: IVF partition pruning x OPQ codes x exact
+re-rank"):
+
+- build() trains IVF centroids (distributed Lloyd, similarity.kmeans_refine)
+  and an OPQ rotation + PQ codebooks (opq.opq_train), then writes ONE
+  parquet layout partitioned by inverted list with BOTH representations as
+  columns: (vec_id, codes: array<int> — m bytes-ish per vector, embedding:
+  array<float> — the exact rescore source).  Everything needed to search is
+  in meta.json next to it; load() needs no retraining.
+
+- search() is a three-stage lazy plan:
+    1. partition-pruned scan: only n_probe/n_lists of the partition dirs
+       are opened (the `list` filter resolves against directories);
+    2. ADC coarse scan over the CODES column of those lists (column
+       pruning: the float vectors are not read here) -> shortlist of C ids
+       via TakeOrderedAndProject;
+    3. exact cosine over the shortlist only: broadcast semi-join on C ids,
+       then brute_force_topk.  Final scores are TRUE cosine scores.
+
+  Scanned bytes per query ~ (n/n_lists)*n_probe * (4m code bytes + id)
+  for stage 1 plus the probed lists' embedding column filtered to C rows
+  for stage 2 — vs 4*dim bytes * n for brute force.
+
+Recall floor is pinned by tests/test_semantic_search.py; the measured
+recall/cost row lives in BENCH/ANN.md (tools/ann_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commoncrawlnewsdataset_spark.operators.opq import opq_train, rotate
+from commoncrawlnewsdataset_spark.operators.pq import adc_score_expr, pq_encode
+from commoncrawlnewsdataset_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    kmeans_refine,
+    pick_centroids,
+)
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    dd = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a)) or 1.0
+    nb = math.sqrt(sum(x * x for x in b)) or 1.0
+    return dd / (na * nb)
+
+
+class AnnIndex:
+    """Handle over a built index directory: `meta` carries centroids,
+    rotation, codebooks and defaults; `rows` is the list-partitioned
+    parquet."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # ---- lifecycle --------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        path: str,
+        n_lists: int = 16,
+        m: int = 8,
+        k_codes: int = 16,
+        kmeans_iter: int = 2,
+        opq_iter: int = 3,
+        opq_sample: int = 2000,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "AnnIndex":
+        spark = emb.sparkSession
+        cents = kmeans_refine(
+            emb, pick_centroids(emb, n_lists, id_col, vec_col), kmeans_iter, vec_col
+        )
+        R, books = opq_train(
+            emb, m, k_codes, opq_iter, opq_sample, id_col, vec_col
+        )
+        codes = pq_encode(rotate(emb, R, id_col, vec_col), books, id_col, vec_col)
+        rows = (
+            ivf_assign(emb, cents, vec_col)
+            .withColumnRenamed("_list", "list")
+            .join(codes, id_col)  # build-time shuffle, paid once at write
+        )
+        rows.write.mode("overwrite").partitionBy("list").parquet(
+            os.path.join(path, "rows")
+        )
+        meta = {
+            "centroids": cents,
+            "rotation": np.asarray(R).tolist(),
+            "codebooks": books,
+            "n_lists": n_lists,
+            "m": m,
+            "k_codes": k_codes,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "AnnIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            return cls(spark, path, json.load(f))
+
+    # ---- search -----------------------------------------------------------
+
+    def search(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        shortlist: int = 100,
+    ) -> DataFrame:
+        """Top-k by TRUE cosine score (the rescore stage's output), probing
+        ``n_probe`` inverted lists and exact-rescoring a ``shortlist`` of
+        ADC-ranked candidates."""
+        meta = self.meta
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        probe = sorted(
+            range(len(meta["centroids"])),
+            key=lambda i: (-_cos(query_vec, meta["centroids"][i]), i),
+        )[:n_probe]
+        rows = self.spark.read.parquet(os.path.join(self.path, "rows")).filter(
+            F.col("list").isin(probe)
+        )
+        qr = list(np.asarray(meta["rotation"]) @ np.asarray(query_vec, dtype=float))
+        coarse = (
+            rows.select(
+                F.col(id_col),
+                F.round(adc_score_expr(qr, meta["codebooks"]), 4).alias("_adc"),
+            )
+            .orderBy(F.desc("_adc"), F.col(id_col))
+            .limit(shortlist)
+        )
+        cand = rows.join(F.broadcast(coarse.select(id_col)), id_col)
+        return brute_force_topk(cand, query_vec, k, id_col, vec_col)

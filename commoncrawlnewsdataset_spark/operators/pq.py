@@ -135,6 +135,27 @@ def pq_encode(
     return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
+def adc_score_expr(
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    codes_col: str = "codes",
+) -> Column:
+    """ADC score as a Column: per-query lookup table lut[j][c] =
+    dot(query_sub_j, codebook[j][c]) folded into literal arrays; a row's
+    score is m element_at lookups — the scan never touches float vectors.
+    Shared by pq_topk and the composed AnnIndex coarse stage."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    score = None
+    for j in range(m):
+        qs = query_vec[j * dsub : (j + 1) * dsub]
+        lut = F.array(*[F.lit(float(_dot_py(qs, c) / qnorm)) for c in codebooks[j]])
+        term = F.element_at(lut, F.element_at(codes_col, j + 1) + 1)
+        score = term if score is None else score + term
+    return score
+
+
 def pq_topk(
     codes: DataFrame,
     query_vec: list[float],
@@ -142,21 +163,8 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ADC search over PQ codes: per-query lookup table lut[j][c] =
-    dot(query_sub_j, codebook[j][c]) folded into literal arrays; a row's
-    score is m element_at lookups — the scan never touches float vectors."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    luts = []
-    for j in range(m):
-        qs = query_vec[j * dsub : (j + 1) * dsub]
-        luts.append([_dot_py(qs, c) / qnorm for c in codebooks[j]])
-    score = None
-    for j in range(m):
-        lut = F.array(*[F.lit(float(x)) for x in luts[j]])
-        term = F.element_at(lut, F.element_at("codes", j + 1) + 1)
-        score = term if score is None else score + term
+    """ADC search over PQ codes (adc_score_expr) + top-k."""
+    score = adc_score_expr(query_vec, codebooks)
     return (
         codes.select(F.col(id_col), F.round(score, 4).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))

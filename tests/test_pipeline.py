@@ -623,3 +623,97 @@ def test_stream_dedup_stop_and_restart_resumes_epochs(spark, tmp_path):
         ("https://h.example/u3", "beta body"),    # new content delivered
         ("https://h.example/u4", "gamma body"),
     }  # u2 deduped against run 1's fingerprints, across the restart
+
+
+def test_stream_dedup_mid_batch_kill_replays_identically(tmp_path):
+    """VERDICT r4 #5 — PROCESS-level fault injection in the exact window
+    the effectively-once protocol defends (streaming/ingest.py: between an
+    epoch's committed sink write and its fingerprint append): the driver
+    process is os._exit-killed there, then restarted on the same
+    checkpoint.  The replayed epoch must re-emit IDENTICAL rows (step 1 of
+    the protocol excludes the epoch's own/uncommitted fingerprints, so the
+    retry cannot drop the documents), committed earlier epochs stay
+    untouched, and cross-epoch dedup still holds."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def page(url, body):
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        return (url, 0, html, None, None)
+
+    batches = [
+        [page("https://k.example/u1", "alpha body")],
+        [page("https://k.example/u2", "alpha body"),      # dup of epoch 0
+         page("https://k.example/u3", "beta body")],
+        [page("https://k.example/u4", "beta body"),       # dup of epoch 1
+         page("https://k.example/u5", "gamma body")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {k: pa.array(v, schema.field(k).type)
+             for k, v in zip(schema.names, map(list, zip(*rows)))},
+            schema=schema,
+        )
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store, sink, ck = (str(tmp_path / d) for d in ("store", "sink", "ck"))
+    driver = os.path.join(os.path.dirname(__file__), "stream_crash_driver.py")
+
+    # RUN 1: killed between epoch 1's sink commit and fingerprint append
+    env = dict(os.environ, CRASH_EPOCH="1")
+    out = subprocess.run(
+        [sys.executable, driver, src, store, sink, ck],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 42, (out.returncode, out.stderr[-2000:])
+    # crash-window state on disk: epoch 1 sink committed, fingerprints NOT
+    assert os.path.exists(os.path.join(sink, "epoch=1", "_SUCCESS"))
+    import duckdb
+
+    fps_epochs = duckdb.sql(
+        f"SELECT DISTINCT epoch FROM '{store}/fingerprints.parquet/*.parquet' ORDER BY epoch"
+    ).fetchall()
+    assert fps_epochs == [(0,)], fps_epochs
+    before = duckdb.sql(
+        f"SELECT url, text FROM '{sink}/epoch=1/*.parquet' ORDER BY url"
+    ).fetchall()
+    assert before, "epoch 1 sink committed but empty"
+
+    # RUN 2: same checkpoint — epoch 1 replays, then epoch 2 proceeds
+    env2 = dict(os.environ)
+    env2.pop("CRASH_EPOCH", None)
+    out2 = subprocess.run(
+        [sys.executable, driver, src, store, sink, ck],
+        env=env2, capture_output=True, text=True, timeout=420,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "DRIVER_DONE" in out2.stdout
+
+    after = duckdb.sql(
+        f"SELECT url, text FROM '{sink}/epoch=1/*.parquet' ORDER BY url"
+    ).fetchall()
+    assert after == before  # the replayed epoch re-emitted identical rows
+    got = set(duckdb.sql(
+        f"SELECT url, text FROM '{sink}/epoch=*/*.parquet'"
+    ).fetchall())
+    assert got == {
+        ("https://k.example/u1", "alpha body"),
+        ("https://k.example/u3", "beta body"),    # survived the replay
+        ("https://k.example/u5", "gamma body"),   # u4 deduped vs replayed e1
+    }, got
+    # fingerprints now cover every committed epoch
+    fps_epochs = {e for (e,) in duckdb.sql(
+        f"SELECT DISTINCT epoch FROM '{store}/fingerprints.parquet/*.parquet'"
+    ).fetchall()}
+    assert {0, 1, 2} <= fps_epochs

@@ -115,6 +115,28 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_read(spark, index_dir, qv, cents, k=20, n_probe=2)
 
 
+def q_composed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ANN (VERDICT r4 #6; approximate family, rows-only like its
+    siblings): operators.ann_index.AnnIndex — IVF partition pruning x
+    OPQ/ADC coarse scan x exact top-C rescore behind ONE build/load/search
+    object, searched here through a save/load round trip.  Recall floor
+    >= 0.9 pinned by tests/test_semantic_search.py; the recall/cost curve
+    is BENCH/ANN.md's `composed` rows (0.963 at probe=12/16, C=400 on the
+    sf0.1 table — residual loss is IVF pruning; the m=16 ADC shortlist is
+    lossless there)."""
+    import tempfile
+
+    from commoncrawlnewsdataset_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="annix-")
+    AnnIndex.build(emb, path, n_lists=8, m=16, k_codes=16)
+    ix = AnnIndex.load(spark, path)
+    row = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in row["embedding"]]
+    return ix.search(qv, k=20, n_probe=6, shortlist=100)
+
+
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (scale path #3; ADC over m-byte codes, recall
     < 1 by design so no SQL oracle): train per-subspace codebooks (one
@@ -455,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_ann_topk": q_lsh_ann_topk,
             "multi_lsh_ann_topk": q_multi_lsh_ann_topk,
             "ivf_ann_topk": q_ivf_ann_topk,
+            "composed_ann_topk": q_composed_ann_topk,
             "pq_ann_topk": q_pq_ann_topk,
             "opq_ann_topk": q_opq_ann_topk,
             "compression_ratio": q_compression_ratio,

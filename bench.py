@@ -33,10 +33,29 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_quiet(threshold: float = 2.0, max_wait_s: int = 180) -> float:
+    """Bench hygiene at the source (VERDICT r4 'What's wrong #2'): external
+    host load inflates EVERY query 20-50%, so an artifact timed under load
+    misreads as an engine regression.  Wait (bounded) for the 1-min load to
+    drop below `threshold` before timing; the waited seconds are recorded
+    in the JSON so the artifact carries its own noise context either way.
+    Override: SPARK_GRAFT_NO_QUIET_WAIT=1 skips the wait entirely."""
+    if os.environ.get("SPARK_GRAFT_NO_QUIET_WAIT"):
+        return 0.0
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        la = _loadavg()
+        if not la or la[0] < threshold:
+            break
+        time.sleep(10)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    waited_s = _wait_for_quiet()
 
     from commoncrawlnewsdataset_spark.benchlib import frontier_wave_bench
     from commoncrawlnewsdataset_spark.plans.queries import spark_queries
@@ -136,6 +155,7 @@ def main() -> None:
                 },
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
+                "quiet_wait_s": waited_s,
             }
         )
     )

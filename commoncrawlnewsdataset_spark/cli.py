@@ -39,6 +39,10 @@ def _crawl(args) -> None:
         # --pages: persist fetched payloads per wave (single fetch pass);
         # the extraction pipeline then reads <pages>/wave=*.parquet
         page_sink_dir=args.pages,
+        # --bucket-state N: checkpoints written as url-bucketed tables +
+        # persisted bloom shards; post-compaction waves join the frontier
+        # side Exchange-free (the 100-TB layout; see BENCH/BUCKETED.md)
+        bucket_state=args.bucket_state,
     )
     if args.seeds:
         if runner.last_wave() >= 0:
@@ -167,6 +171,9 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--budget", type=int, default=10)
     c.add_argument("--nsalt", type=int, default=8)
     c.add_argument("--wave-seconds", type=float, default=None)
+    c.add_argument("--bucket-state", type=int, default=None,
+                   help="bucket count for url-bucketed state checkpoints "
+                        "(Exchange-free frontier joins after compaction)")
     c.add_argument("--pages", default=None,
                    help="page-sink dir: persist fetched html per wave")
     c.set_defaults(fn=_crawl)

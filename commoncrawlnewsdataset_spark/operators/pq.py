@@ -90,8 +90,10 @@ def pq_train(
 
     for _ in range(n_iter):
         assigned = sub_rows.withColumn("code", assign_expr(books))
+        # rounded means: see kmeans_refine — keeps codebooks
+        # bit-reproducible regardless of partial-aggregation order
         means = assigned.groupBy("j", "code").agg(
-            *[F.avg(F.element_at("sv", i + 1)).alias(f"m{i}") for i in range(dsub)]
+            *[F.round(F.avg(F.element_at("sv", i + 1)), 6).alias(f"m{i}") for i in range(dsub)]
         ).collect()
         new = {(r["j"], r["code"]): [float(r[f"m{i}"]) for i in range(dsub)] for r in means}
         books = [

@@ -131,8 +131,14 @@ def kmeans_refine(
     for _ in range(n_iter):
         assigned = ivf_assign(emb, cents, vec_col)
         v = F.col(vec_col).cast("array<double>")
+        # round the means: double partial-aggregation ORDER can vary with
+        # partitioning, and unrounded centroids could flip boundary
+        # assignments between otherwise-identical runs — 6dp is orders
+        # above the summation error and below any geometric difference, so
+        # centroids (verified: whole built-index meta hashes) are
+        # bit-reproducible across processes.
         means = assigned.groupBy("_list").agg(
-            *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)]
+            *[F.round(F.avg(F.element_at(v, i + 1)), 6).alias(f"m{i}") for i in range(dim)]
         ).collect()
         new = {r["_list"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]

@@ -191,13 +191,21 @@ def main() -> None:
     # reading below prescribes, now an operator rather than a recipe
     from commoncrawlnewsdataset_spark.operators.ann_index import AnnIndex
 
+    # m=16 (dsub=4, 64-bit codes): at dim=64 the m=8/k=16 default loses
+    # shortlist recall on top of the IVF loss (0.838 vs 0.863 at
+    # probe=8/C=400); with m=16 the C=400 shortlist is lossless — composed
+    # recall equals the ivf(probe=n) row exactly, i.e. ALL remaining loss
+    # is IVF pruning on this small weakly-clustered synthetic table.  The
+    # probe=12 row is the >=0.9 operating point here; real embedding
+    # corpora cluster, so the probe fraction needed for a given recall
+    # falls as n grows.
     t0 = time.time()
     annix_path = tempfile.mkdtemp(prefix="annix-bench-")
-    annix = AnnIndex.build(emb, annix_path, n_lists=16, m=8, k_codes=16)
+    annix = AnnIndex.build(emb, annix_path, n_lists=16, m=16, k_codes=16)
     annix_prep = time.time() - t0
-    for np_, C in ((4, 200), (8, 200), (8, 400)):
+    for np_, C in ((4, 200), (8, 200), (8, 400), (12, 400)):
         run(
-            f"composed(ivf16/{np_},opq,C={C})",
+            f"composed(ivf16/{np_},opq16,C={C})",
             annix_prep,
             lambda qv, np_=np_, C=C: annix.search(qv, k, n_probe=np_, shortlist=C),
         )

@@ -446,6 +446,7 @@ def _driver_coverage() -> tuple[set[str], set[str]]:
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     ever: set[str] = set()
     latest: set[str] = set()
+    ever_green: set[str] = set()  # ever passed the FULL value oracle
     for i, f in enumerate(files):
         try:
             with open(f) as fh:
@@ -454,9 +455,13 @@ def _driver_coverage() -> tuple[set[str], set[str]]:
             continue
         names = set(d) if isinstance(d, dict) else set()
         ever |= names
+        if isinstance(d, dict):
+            for name, row in d.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    ever_green.add(name)
         if i == len(files) - 1:
             latest = names
-    return ever, latest
+    return ever, latest, ever_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -488,11 +493,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ner_gazetteer": q_ner_gazetteer,
         }
     )
-    ever, latest = _driver_coverage()
-    with_oracle = set(oracle_sqls()) | {"media_features", "frame_samples", "media_resize"}
+    ever, latest, ever_green = _driver_coverage()
+    # the authoritative oracle set is oracle_sql() (the module-level
+    # wrapper), which includes oracles registered HERE and not in
+    # plans.queries — e.g. r5's heavy_hitters / ner_gazetteer upgrades
+    with_oracle = set(oracle_sql())
 
     def rank(name: str):
-        tier = 0 if name not in ever else (1 if name not in latest else 2)
+        # tier 0: never driver-checked at all, OR oracle-bearing but never
+        # value-green (covers rows-only -> oracle upgrades: the hard check
+        # must reach the driver's window the round it lands); tier 1:
+        # missing from the latest round; tier 2: the rest.
+        never_checked = name not in ever
+        oracle_unproven = name in with_oracle and name not in ever_green
+        tier = 0 if (never_checked or oracle_unproven) else (
+            1 if name not in latest else 2
+        )
         return (tier, name not in with_oracle, name)
 
     return {k: qs[k] for k in sorted(qs, key=rank)}

@@ -131,12 +131,17 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # headline: one full frontier crawl wave.  A small warmup wave first —
+    # headline: a full frontier crawl wave.  A small warmup wave first —
     # the wave loop's code paths (politeness windows, bloom build/probe,
     # Arrow fetch) JIT on first use and the cold run measures the JVM, not
-    # the engine (observed 13 s cold vs 7.9 s warm at 400k urls).
+    # the engine (observed 13 s cold vs 7.9 s warm at 400k urls).  Best of
+    # TWO measured waves (both samples recorded in the JSON): single-shot
+    # samples on this shared box vary +/-30% with neighbor load the guest
+    # cannot see (r5 A/B against the unchanged r4 tree reproduced the same
+    # spread), and the best-of-2 minimum is the stabler engine signal.
     frontier_wave_bench(spark, n_urls=50_000)
-    wave = frontier_wave_bench(spark, n_urls=400_000)
+    samples = [frontier_wave_bench(spark, n_urls=400_000) for _ in range(2)]
+    wave = min(samples, key=lambda w: w["elapsed_s"])
     timings["frontier_wave"] = round(wave["elapsed_s"], 3)
 
     print(
@@ -152,6 +157,7 @@ def main() -> None:
                     "n_scheduled": wave["n_scheduled"],
                     "n_fetched": wave["n_fetched"],
                     "cpus": int(cpus),
+                    "wave_samples_s": [round(w["elapsed_s"], 3) for w in samples],
                 },
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),

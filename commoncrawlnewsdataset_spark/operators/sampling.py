@@ -93,3 +93,83 @@ def cap_per_group(
         survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rk") <= cap)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of its key (md5-fold bucket against cumulative fraction
+    ranges, split names in sorted order), so the partition is disjoint,
+    complete, stable under repartitioning / incremental re-runs, and
+    engine-portable (the DuckDB oracle replays it bit-for-bit).  The
+    standard corpus-split op — `randomSplit` re-deals every run and with
+    every parallelism change.
+
+    ``fractions`` must sum to ~1; the last range is closed at 2^32 so
+    float dust never leaves a row unassigned."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = sorted(fractions)
+    for i, name in enumerate(names):
+        acc += fractions[name]
+        hi = _SPACE if i == len(names) - 1 else int(acc * _SPACE)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget: int,
+    size_col: str | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates that realize a target training MIXTURE: given
+    target weights w_s and a total budget B (rows, or ``size_col`` units
+    such as tokens), rate_s = min(1, w_s * B / available_s).  One aggregate
+    over the corpus (strata are low-cardinality sources/languages — the
+    collect is dim-row by design); strata with weight 0 or absent from
+    ``weights`` get rate 0.  Feed the result to stratified_hash_sample —
+    together they are the data-mixing knob every LLM corpus build has
+    (e.g. '60% web, 30% code, 10% wiki within a 10T-token budget')."""
+    agg = F.count("*") if size_col is None else F.sum(size_col)
+    avail = {
+        r["s"]: int(r["n"])
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(agg.alias("n"))
+        .collect()
+    }
+    rates = {}
+    for s, w in weights.items():
+        a = avail.get(s, 0)
+        rates[s] = 0.0 if a == 0 else min(1.0, (w * budget) / a)
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    budget: int,
+    size_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """mixture_rates + stratified_hash_sample in one call: a deterministic
+    subsample whose per-stratum mass approximates ``weights`` * ``budget``
+    (exactly capped at availability).  Rows in strata without a weight are
+    dropped (rate 0)."""
+    rates = mixture_rates(df, strata_col, weights, budget, size_col)
+    return stratified_hash_sample(
+        df, rates, strata_col, key_col, default_rate=0.0, seed=seed
+    )

@@ -672,6 +672,82 @@ WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
 """
 
 
+SPLIT_FRACTIONS = {"train": 0.96, "val": 0.02, "test": 0.02}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators.sampling.
+    hash_split): the split is a pure function of the row key, so the
+    partition survives repartitioning, incremental re-runs, and engine
+    changes — DuckDB replays every row's label bit-for-bit (randomSplit
+    re-deals under any of those)."""
+    from commoncrawlnewsdataset_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+def _oracle_hash_split() -> str:
+    acc, conds = 0.0, []
+    names = sorted(SPLIT_FRACTIONS)
+    for i, name in enumerate(names):
+        acc += SPLIT_FRACTIONS[name]
+        if i == len(names) - 1:
+            conds.append(f"ELSE '{name}'")
+        else:
+            conds.append(f"WHEN b < {int(acc * _SPACE32)} THEN '{name}'")
+    case = " ".join(conds)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+  FROM documents
+)
+SELECT doc_id, CASE {case} END AS split FROM b
+"""
+
+
+MIXTURE_WEIGHTS = {"en": 0.45, "de": 0.35, "fr": 0.1, "es": 0.07, "zh": 0.03}
+MIXTURE_BUDGET_CHARS = 60_000
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing knob (operators.sampling.mixture_sample): per-language
+    keep rates derived from target weights and a character budget
+    (rate = min(1, w*B/available); at sf0.01 the 'de' weight exceeds
+    availability, exercising the clamp), then the deterministic stratified
+    hash sample.  DuckDB recomputes the rates from the same aggregate with
+    the same double arithmetic and replays the md5 threshold per row, so
+    the full sampled row SET is the oracle — the end-to-end proof that the
+    mixture a 100-TB build would ship is reproducible anywhere."""
+    from commoncrawlnewsdataset_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", "doc_id", MIXTURE_WEIGHTS, MIXTURE_BUDGET_CHARS,
+        size_col="n_chars",
+    ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _oracle_corpus_mixture() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS.items())
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS a FROM documents GROUP BY lang
+), w(lang, w) AS (
+  VALUES {vals}
+), r AS (
+  SELECT w.lang,
+         CAST(floor(least(1.0, (w.w * {MIXTURE_BUDGET_CHARS}) / a.a)
+                    * 4294967296.0) AS BIGINT) AS thr
+  FROM w JOIN avail a ON a.lang = w.lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r.thr
+"""
+
+
 CHUNK_TOKENS = 512
 
 
@@ -2691,6 +2767,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "corpus_mixture": q_corpus_mixture,
         "sample_per_month": q_sample_per_month,
         "length_quantiles": q_length_quantiles,
         "tfidf_topk": q_tfidf_topk,
@@ -2768,6 +2846,8 @@ def oracle_sqls() -> dict[str, str]:
         "jaccard_pairs": ORACLE_JACCARD,
         "dup_clusters": _oracle_dup_clusters(),
         "stratified_sample": _oracle_stratified_sample(),
+        "hash_split": _oracle_hash_split(),
+        "corpus_mixture": _oracle_corpus_mixture(),
         "sample_per_month": ORACLE_SAMPLE_PER_MONTH,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "tfidf_topk": ORACLE_TFIDF,

@@ -978,3 +978,61 @@ def test_heavy_hitters_exact_confirm_is_deterministic(spark):
             assert got["a"][1] == 5000 and got["b"][1] == 4000
             for est, cnt, thr in got.values():
                 assert est >= cnt and thr == 4000
+
+
+def test_hash_split_partitions_disjoint_and_stable(spark):
+    """hash_split: every row gets exactly one label; proportions track the
+    fractions; the assignment is invariant under repartitioning (the whole
+    point vs randomSplit); fractions not summing to 1 fail loud."""
+    import pytest
+
+    from commoncrawlnewsdataset_spark.operators.sampling import hash_split
+
+    df = spark.range(20000).selectExpr("id AS k")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = hash_split(df, "k", fr)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(fr) and sum(counts.values()) == 20000
+    for name, f in fr.items():
+        assert abs(counts[name] / 20000 - f) < 0.02, (name, counts)
+    # stability: a different partitioning yields the identical assignment
+    a = {(r["k"], r["split"]) for r in out.collect()}
+    b = {(r["k"], r["split"]) for r in
+         hash_split(df.repartition(17), "k", fr).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"train": 0.5, "val": 0.1})
+
+
+def test_mixture_sample_realizes_weights(spark):
+    """mixture_sample: per-stratum sampled mass approximates weight*budget,
+    clamps at availability (rate 1 keeps everything), and unlisted strata
+    drop; rates are reproducible pure functions of the aggregate."""
+    from commoncrawlnewsdataset_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    df = spark.range(30000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 10 < 6 THEN 'web' WHEN id % 10 < 9 THEN 'code' "
+        "ELSE 'wiki' END AS src",
+        "10 + id % 7 AS toks",
+    )
+    weights = {"web": 0.5, "code": 0.2, "wiki": 0.3}
+    budget = 150_000  # wiki target 45k > ~39k available -> clamp to rate 1
+    rates = mixture_rates(df, "src", weights, budget, size_col="toks")
+    assert rates["wiki"] == 1.0
+    assert 0 < rates["web"] < 1 and 0 < rates["code"] < 1
+    out = mixture_sample(df, "src", "k", weights, budget, size_col="toks")
+    got = {r["src"]: r["t"] for r in
+           out.groupBy("src").agg(F.sum("toks").alias("t")).collect()}
+    avail_wiki = df.filter("src = 'wiki'").agg(F.sum("toks")).first()[0]
+    assert got["wiki"] == avail_wiki                  # clamped: all kept
+    for s in ("web", "code"):
+        target = weights[s] * budget
+        assert abs(got[s] - target) / target < 0.1, (s, got[s], target)
+    # a stratum without a weight is dropped entirely
+    out2 = mixture_sample(df, "src", "k", {"web": 1.0}, 10_000, size_col="toks")
+    assert out2.filter("src != 'web'").count() == 0

@@ -435,9 +435,12 @@ FROM m
 """
 
 
-def _driver_coverage() -> tuple[set[str], set[str]]:
-    """(ever_checked, checked_in_latest_round) query names from the driver's
-    own CORRECTNESS_r*.json artifacts next to this file."""
+def _driver_coverage() -> tuple[set[str], set[str], set[str]]:
+    """(ever_checked, checked_in_latest_round, ever_value_green) query names
+    from the driver's own CORRECTNESS_r*.json artifacts next to this file —
+    ever_value_green = queries that have passed the FULL value oracle
+    (hash_match) in some round, used to fast-track rows-only -> oracle
+    upgrades into the checked window."""
     import glob
     import json
     import os

@@ -284,6 +284,11 @@ class WaveRunner:
         committed checkpoint, so every SURVIVING wave always resolves from a
         checkpoint at-or-below it plus intact deltas."""
         ckpt_df, resolved_deltas, _ = self._snapshot_parts(upto_wave)
+        return self._compose_state(ckpt_df, resolved_deltas)
+
+    def _compose_state(
+        self, ckpt_df: DataFrame | None, resolved_deltas: DataFrame | None
+    ) -> DataFrame:
         if ckpt_df is None:
             if resolved_deltas is None:
                 raise ValueError(f"no committed waves in {self.state_dir}")
@@ -331,22 +336,42 @@ class WaveRunner:
             )
         return ckpt_df, resolved_deltas, ckpt
 
-    def _ckpt_table_name(self, upto: int) -> str:
+    def _ckpt_table_name(self, upto: int, n_buckets: int) -> str:
         import zlib
 
         tag = zlib.crc32(os.path.abspath(self.state_dir).encode()) & 0xFFFFFFFF
-        return f"ccn_state_{tag:08x}_{upto:05d}"
+        # the bucket count is part of the name: a re-register after a config
+        # change can never collide with a stale catalog entry made under a
+        # different layout
+        return f"ccn_state_{tag:08x}_{upto:05d}_b{n_buckets}"
+
+    def _ckpt_bucket_count(self, upto: int) -> int | None:
+        """The bucket count the checkpoint FILES were actually written with
+        (bucket_meta.json, recorded at compact time) — never assume the
+        current self.bucket_state: registering files under a different
+        count would make the Exchange-free SortMergeJoin silently join on
+        a distribution the files don't have (r5 review finding).  None =
+        plain (non-bucketed) checkpoint."""
+        meta_path = os.path.join(self._checkpoint_dir(upto), "bucket_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            return int(json.load(f)["n_buckets"])
 
     def _read_checkpoint(self, upto: int) -> DataFrame:
         """Checkpoint scan: plain parquet normally; in bucket_state mode the
         catalog table (re-registered after a restart via CREATE TABLE ...
         CLUSTERED BY ... LOCATION — the files are the same parquet, only the
         layout metadata lives in the catalog), so downstream joins on url
-        see the bucketed distribution and skip their Exchange+Sort."""
+        see the bucketed distribution and skip their Exchange+Sort.  The
+        registration always uses the count stored at write time; a plain
+        checkpoint (e.g. bucket_state enabled over an old state dir) reads
+        as plain parquet until the next compact() rewrites it bucketed."""
         path = os.path.join(self._checkpoint_dir(upto), "state.parquet")
-        if not self.bucket_state:
+        n_buckets = self._ckpt_bucket_count(upto) if self.bucket_state else None
+        if not n_buckets:
             return self.spark.read.parquet(path)
-        tbl = self._ckpt_table_name(upto)
+        tbl = self._ckpt_table_name(upto, n_buckets)
         if not self.spark.catalog.tableExists(tbl):
             schema = self.spark.read.parquet(path).schema
             cols = ", ".join(
@@ -355,7 +380,7 @@ class WaveRunner:
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
                 f"CLUSTERED BY (url) SORTED BY (url) "
-                f"INTO {self.bucket_state} BUCKETS LOCATION '{path}'"
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
             )
         return self.spark.table(tbl)
 
@@ -442,7 +467,7 @@ class WaveRunner:
             # once here and every later per-wave join against the frontier
             # side compiles Exchange-free.  Files are plain parquet at the
             # protocol path; only the layout metadata lives in the catalog.
-            tbl = self._ckpt_table_name(upto)
+            tbl = self._ckpt_table_name(upto, self.bucket_state)
             self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (
                 snap.write.mode("overwrite")
@@ -452,6 +477,10 @@ class WaveRunner:
                 .option("path", state_path)
                 .saveAsTable(tbl)
             )
+            # record the layout the FILES have — reads must never assume
+            # the current config matches (r5 review finding)
+            with open(os.path.join(out, "bucket_meta.json"), "w") as f:
+                json.dump({"n_buckets": self.bucket_state}, f)
             if self.use_bloom:
                 self._write_ckpt_bloom(upto, state_path)
         else:
@@ -716,8 +745,20 @@ class WaveRunner:
         separate pre-count: emptiness is detected from the metrics."""
         wave = self.last_wave() + 1
         t0 = time.time()
+        # ONE snapshot resolution per wave: in bucket_state mode the parts
+        # feed the gates directly and the composed state is built FROM them
+        # (a separate self.state() call would re-resolve; the delta window
+        # additionally caches because the gates reference it ~3x per wave —
+        # r5 review finding)
         parts = self._snapshot_parts() if self.bucket_state else None
-        state = self.state().cache()  # one snapshot resolution per wave
+        if parts is not None:
+            ckpt_df, deltas, ckpt_wave = parts
+            if deltas is not None:
+                deltas = deltas.cache()
+                parts = (ckpt_df, deltas, ckpt_wave)
+            state = self._compose_state(ckpt_df, deltas).cache()
+        else:
+            state = self.state().cache()
         selected = self.select_wave(state, parts)
 
         results = self._fetch(selected)
@@ -754,6 +795,8 @@ class WaveRunner:
             self._commit(wave, manifest)
             outcome.unpersist()
             state.unpersist()
+            if parts is not None and parts[1] is not None:
+                parts[1].unpersist()
             return manifest
 
         status_counts: dict[str, int] = {}
@@ -859,6 +902,8 @@ class WaveRunner:
         }
         self._commit(wave, manifest)
         state.unpersist()
+        if parts is not None and parts[1] is not None:
+            parts[1].unpersist()
         outcome.unpersist()
         return manifest
 

@@ -35,7 +35,6 @@ recall/cost row lives in BENCH/ANN.md (tools/ann_bench.py).
 from __future__ import annotations
 
 import json
-import math
 import os
 
 import numpy as np
@@ -48,15 +47,9 @@ from commoncrawlnewsdataset_spark.operators.similarity import (
     brute_force_topk,
     ivf_assign,
     kmeans_refine,
+    nearest_lists,
     pick_centroids,
 )
-
-
-def _cos(a: list[float], b: list[float]) -> float:
-    dd = sum(x * y for x, y in zip(a, b))
-    na = math.sqrt(sum(x * x for x in a)) or 1.0
-    nb = math.sqrt(sum(x * x for x in b)) or 1.0
-    return dd / (na * nb)
 
 
 class AnnIndex:
@@ -120,6 +113,29 @@ class AnnIndex:
         with open(os.path.join(path, "meta.json")) as f:
             return cls(spark, path, json.load(f))
 
+    def append(self, emb_new: DataFrame) -> None:
+        """Incremental maintenance (the ivf_append pattern): assign ONLY the
+        new vectors against the EXISTING centroids, encode them with the
+        EXISTING rotation+codebooks, and append to the list-partitioned
+        layout — no retrain, no rewrite; searches see old + new rows
+        through the same partition-pruned scan.  Drift from sustained
+        appends is handled by periodic re-build, like wave-log
+        compaction."""
+        meta = self.meta
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        R = np.asarray(meta["rotation"])
+        codes = pq_encode(
+            rotate(emb_new, R, id_col, vec_col), meta["codebooks"], id_col, vec_col
+        )
+        rows = (
+            ivf_assign(emb_new, meta["centroids"], vec_col)
+            .withColumnRenamed("_list", "list")
+            .join(codes, id_col)
+        )
+        rows.write.mode("append").partitionBy("list").parquet(
+            os.path.join(self.path, "rows")
+        )
+
     # ---- search -----------------------------------------------------------
 
     def search(
@@ -134,10 +150,7 @@ class AnnIndex:
         ADC-ranked candidates."""
         meta = self.meta
         id_col, vec_col = meta["id_col"], meta["vec_col"]
-        probe = sorted(
-            range(len(meta["centroids"])),
-            key=lambda i: (-_cos(query_vec, meta["centroids"][i]), i),
-        )[:n_probe]
+        probe = nearest_lists(query_vec, meta["centroids"], n_probe)
         rows = self.spark.read.parquet(os.path.join(self.path, "rows")).filter(
             F.col("list").isin(probe)
         )

@@ -102,6 +102,28 @@ def lsh_topk(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col)
 
 
+def cosine_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine (query-vs-centroid scoring) — one definition so
+    every probe-selection site shares the same zero-norm guard."""
+    import math
+
+    dd = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a)) or 1.0
+    nb = math.sqrt(sum(x * x for x in b)) or 1.0
+    return dd / (na * nb)
+
+
+def nearest_lists(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The n_probe inverted lists nearest the query (cosine desc, ties to
+    the lowest index) — shared by ivf_topk / ivf_probe_read / AnnIndex."""
+    return sorted(
+        range(len(centroids)),
+        key=lambda i: (-cosine_py(query_vec, centroids[i]), i),
+    )[:n_probe]
+
+
 def pick_centroids(
     emb: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
@@ -178,15 +200,7 @@ def ivf_topk(
     exact re-rank inside them.  At scale `_list` is a precomputed partition
     column, so the probe is a partition-pruned scan of n_probe/n_centroids
     of the corpus."""
-    import math
-
-    def cos(a, b):
-        dd = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return dd / (na * nb)
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))[:n_probe]
+    probe = nearest_lists(query_vec, centroids, n_probe)
     assigned = ivf_assign(emb, centroids, vec_col)
     candidates = assigned.filter(F.col("_list").isin(probe)).drop("_list")
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
@@ -224,15 +238,7 @@ def ivf_probe_read(
     """Partition-pruned IVF probe over a written index: the `list` filter is
     resolved against parquet PARTITION DIRECTORIES, so unprobed lists are
     never opened."""
-    import math
-
-    def cos(a, b):
-        dd = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return dd / (na * nb)
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))[:n_probe]
+    probe = nearest_lists(query_vec, centroids, n_probe)
     candidates = spark.read.parquet(path).filter(F.col("list").isin(probe))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 

@@ -92,6 +92,7 @@ def heavy_hitters(
     seed: int = 0,
     hasher: str = "xxhash64",
     confirm: str = "sketch",
+    debug_plan: bool = False,
 ) -> DataFrame:
     """Keys whose count-min estimate is >= N/k.  GUARANTEE (the property the
     tests pin): every TRUE heavy hitter (exact count >= N/k) is returned,
@@ -188,18 +189,21 @@ def heavy_hitters(
         # per downstream branch (est join + exact confirm both read it).
         # Result is <= cap*P rows — driver-safe.
         nonlocal candidate_plan
-        import contextlib
-        import io
-
         lazy = keys_df.mapInPandas(
             _local_cands, schema=f"{key_col} {ktype}"
         ).distinct()
-        # the checkpoint hides the candidate plan from the caller's
-        # explain(); capture it here for the map-side plan-regression lock
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            lazy.explain("formatted")
-        candidate_plan = buf.getvalue()
+        if debug_plan:
+            # the checkpoint hides the candidate plan from the caller's
+            # explain(); capture it for the map-side plan-regression lock
+            # (debug only — a full Catalyst compile per production call is
+            # pure overhead, r5 review finding)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                lazy.explain("formatted")
+            candidate_plan = buf.getvalue()
         return lazy.localCheckpoint(eager=True)
 
     keys_only = df.select(key_col)

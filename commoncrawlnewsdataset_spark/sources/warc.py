@@ -179,11 +179,14 @@ def iter_warc_records(raw: bytes):
                 pending.clear()
                 raw, pos, n = dec, 0, len(dec)
                 continue
-            if next_pos < n:
-                pending.insert(0, (raw, next_pos))
             if dec:
+                # the tail is parsed LATER via pending — never both queued
+                # and stepped into (that double-parse yielded every
+                # post-empty-member record twice, r5 review finding)
+                if next_pos < n:
+                    pending.insert(0, (raw, next_pos))
                 raw, pos, n = dec, 0, len(dec)
-            else:  # empty member(s): just step past them
+            else:  # empty member(s): just step past them, tail stays current
                 pos = next_pos
             continue
         end_hdr = raw.find(b"\r\n\r\n", pos)

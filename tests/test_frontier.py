@@ -1118,7 +1118,7 @@ def test_bucketed_state_parity_and_resume(spark, tmp_path):
     assert os.path.isdir(os.path.join(ckpt, "bloom.parquet"))
 
     # catalog-loss resume: drop the table, a fresh read re-registers it
-    tbl = buck._ckpt_table_name(buck.committed_checkpoints()[-1])
+    tbl = buck._ckpt_table_name(buck.committed_checkpoints()[-1], 8)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert snap(buck) == snap(plain)
     assert spark.catalog.tableExists(tbl)  # re-registered from files
@@ -1190,4 +1190,43 @@ def test_bucketed_state_gate_joins_exchange_free(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql(f"DROP TABLE IF EXISTS {buck._ckpt_table_name(ckpt_wave)}")
+        spark.sql(f"DROP TABLE IF EXISTS {buck._ckpt_table_name(ckpt_wave, 8)}")
+
+
+def test_bucketed_state_bucket_count_is_persisted(spark, tmp_path):
+    """r5 review regression: the checkpoint's bucket count is recorded at
+    write time and used on re-register — a runner restarted with a
+    DIFFERENT bucket_state (or with bucketing newly enabled over plain
+    checkpoints) must not register the files under the wrong layout."""
+    import dataclasses
+    import json
+    import os
+
+    buck = _bucketed_runner(spark, str(tmp_path / "bm"), 8)
+    urls = [f"https://m{i % 4}.example.org/p/{i}" for i in range(30)]
+    buck.load_seeds(_parity_seeds(spark, urls))
+    buck.run_wave()
+    buck.compact()
+    ckpt = buck.committed_checkpoints()[-1]
+    meta = json.load(open(os.path.join(buck._checkpoint_dir(ckpt), "bucket_meta.json")))
+    assert meta == {"n_buckets": 8}
+
+    # restart with bucket_state=64: reads must use the FILES' count (8)
+    spark.sql(f"DROP TABLE IF EXISTS {buck._ckpt_table_name(ckpt, 8)}")
+    resumed = dataclasses.replace(buck, bucket_state=64)
+    snap = sorted((r["url"], r["status"]) for r in resumed.state().collect())
+    want = sorted((r["url"], r["status"]) for r in buck.state().collect())
+    assert snap == want  # layout metadata never changes the data
+    assert spark.catalog.tableExists(resumed._ckpt_table_name(ckpt, 8))
+    assert not spark.catalog.tableExists(resumed._ckpt_table_name(ckpt, 64))
+    spark.sql(f"DROP TABLE IF EXISTS {buck._ckpt_table_name(ckpt, 8)}")
+
+    # bucketing enabled over a PLAIN state dir: no meta -> plain read, no
+    # bogus registration
+    plain = _bucketed_runner(spark, str(tmp_path / "pl"), None)
+    plain.load_seeds(_parity_seeds(spark, urls))
+    plain.run_wave()
+    plain.compact()
+    upgraded = dataclasses.replace(plain, bucket_state=16)
+    assert upgraded._ckpt_bucket_count(plain.committed_checkpoints()[-1]) is None
+    assert upgraded.state().count() == plain.state().count()

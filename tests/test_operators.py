@@ -779,10 +779,10 @@ def test_heavy_hitters_candidates_are_mapside(spark):
         .otherwise(F.concat(F.lit("k"), (F.col("id") % 37).cast("string")))
         .alias("key")
     )
-    out = heavy_hitters(df, "key", k=10, width=2048, depth=4)
+    out = heavy_hitters(df, "key", k=10, width=2048, depth=4, debug_plan=True)
     # the candidate stage is eagerly checkpointed inside heavy_hitters (so
     # the imbalance retry can catch executor errors); its plan is captured
-    # at build time for exactly this lock
+    # at build time (debug_plan) for exactly this lock
     plan = out._hh_candidate_plan
     lines = plan.splitlines()
     mip = next(i for i, l in enumerate(lines) if "MapInPandas" in l)

@@ -155,3 +155,36 @@ def test_composed_ann_index_recall_floor(spark, tmp_path):
         ix.search(qv, 10, n_probe=2, shortlist=50).explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "list" in plan, plan
+
+
+def test_composed_ann_index_append(spark, tmp_path):
+    """AnnIndex.append: new vectors become searchable without retraining
+    (assigned to existing lists, encoded with existing codebooks); a query
+    near an appended vector finds it at rank 1, and the original rows are
+    untouched (meta unchanged, search through the same loaded handle)."""
+    import json
+    import os
+
+    from commoncrawlnewsdataset_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "annix-app")
+    AnnIndex.build(base, path, n_lists=8, m=8, k_codes=16)
+    meta_before = json.load(open(os.path.join(path, "meta.json")))
+
+    ix = AnnIndex.load(spark, path)
+    probe_row = extra.orderBy("vec_id").first()
+    qv = [float(x) for x in probe_row["embedding"]]
+    pre = {r["vec_id"] for r in ix.search(qv, 5, n_probe=8, shortlist=100).collect()}
+    assert probe_row["vec_id"] not in pre  # not indexed yet
+
+    ix.append(extra)
+    got = ix.search(qv, 5, n_probe=8, shortlist=100).collect()
+    assert got[0]["vec_id"] == probe_row["vec_id"]  # its own vector wins
+    assert json.load(open(os.path.join(path, "meta.json"))) == meta_before
+    # base results still reachable (old top-5 can drop at most
+    # |appended| ranks)
+    big = {r["vec_id"] for r in ix.search(qv, 200, n_probe=8, shortlist=500).collect()}
+    assert pre <= big

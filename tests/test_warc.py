@@ -199,3 +199,27 @@ def test_warc_interleaved_members_parse_linearly():
     # generous 30x headroom over the measured 0.15 s: catches a quadratic
     # regression (minutes) without flaking on a loaded box
     assert took < 5.0, f"interleaved parse took {took:.1f}s - quadratic again?"
+
+
+def test_warc_empty_gzip_member_no_duplicates():
+    """r5 review regression: an EMPTY gzip member at a record boundary must
+    not cause the remaining tail to parse twice (once in place, once via
+    the pending queue) — each following record yields exactly once."""
+    import gzip
+
+    from commoncrawlnewsdataset_spark.sources.warc import (
+        build_response_record,
+        iter_warc_records,
+    )
+
+    recs = [
+        build_response_record(
+            f"https://e.example/{i}", "2024-01-01T00:00:00Z",
+            f"<urn:uuid:e{i}>", b"body", gzip_member=(i == 2),
+        )
+        for i in range(4)
+    ]
+    for where in range(5):  # empty member at every boundary incl. ends
+        blob = b"".join(recs[:where]) + gzip.compress(b"") + b"".join(recs[where:])
+        got = [r.header("WARC-Record-ID") for r in iter_warc_records(blob)]
+        assert got == [f"<urn:uuid:e{i}>" for i in range(4)], (where, got)

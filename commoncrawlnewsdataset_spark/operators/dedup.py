@@ -48,6 +48,54 @@ def shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _capped_bucket_ids(df: DataFrame, keys: list[str], id_col: str, cap: int) -> DataFrame:
+    """The ``cap`` smallest ids per key group as a sorted array — exactly
+    ``slice(array_sort(collect_list(id)), 1, cap)``, but rank-filtered
+    BEFORE collection so no aggregation buffer ever holds more than ``cap``
+    elements.  The direct slice-after-collect formulation materializes the
+    FULL bucket id list in one in-memory array first: at 10^10 docs a
+    degenerate bucket (stopword shingle, boilerplate LSH band, the
+    all-positive-signs hyperplane bucket) collects 10^8+ ids into a single
+    aggregation buffer — executor OOM on the hottest key, which AQE skew
+    handling cannot split because it is one group.
+
+    ids are unique within a group at every call site (each doc contributes
+    one row per (band, bucket)), so ``row_number`` ordered by id is a total
+    order and the output array is bit-identical to the old slice.  The
+    Window and the groupBy hash-partition on the same keys, so this adds a
+    per-partition sort but no extra Exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def _bucket_pairs(capped: DataFrame, dedup: bool = True) -> DataFrame:
+    """(a < b) pairs from a bounded ``ids`` array column.  ``dedup=False``
+    skips the distinct shuffle when each id can occur in only one bucket
+    (single-bucket blocking), so pairs cannot repeat by construction."""
+    pairs = capped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, ai: F.transform(
+                        F.slice(F.col("ids"), ai + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.distinct() if dedup else pairs
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -160,23 +208,8 @@ def minhash_lsh_pairs(
         )
     banded = with_band.select("id", "band", bucket.alias("bucket"))
 
-    capped = banded.groupBy("band", "bucket").agg(
-        F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
-    ).filter(F.size("ids") > 1)
-
-    pairs = capped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a, ai: F.transform(
-                        F.slice(F.col("ids"), ai + 2, F.size("ids")), lambda b: F.struct(a.alias("a"), b.alias("b"))
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
-    return pairs
+    capped = _capped_bucket_ids(banded, ["band", "bucket"], "id", bucket_cap)
+    return _bucket_pairs(capped)
 
 
 # ---------------------------------------------------------------------------
@@ -253,22 +286,8 @@ def simhash_hamming_pairs(
     bands = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "bb.band", "bb.bval"
     )
-    capped = bands.groupBy("band", "bval").agg(
-        F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
-    ).filter(F.size("ids") > 1)
-    cand = capped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a, ai: F.transform(
-                        F.slice(F.col("ids"), ai + 2, F.size("ids")),
-                        lambda b: F.struct(a.alias("a"), b.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
+    capped = _capped_bucket_ids(bands, ["band", "bval"], "id", bucket_cap)
+    cand = _bucket_pairs(capped)
     return (
         cand.join(sigs.withColumnsRenamed({"id": "a", "sig": "sig_a"}), "a")
         .join(sigs.withColumnsRenamed({"id": "b", "sig": "sig_b"}), "b")
@@ -322,16 +341,33 @@ def ngram_jaccard_pairs(
     inv = sets.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s")
     )
-    grouped = inv.groupBy("s").agg(F.collect_list("id").alias("ids"))
-    nonhot = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= shingle_cap))
+    # Counts-first hot/non-hot split: per-key posting counts come from a
+    # window count (WindowExec buffers group rows in a SPILLABLE buffer),
+    # so hot keys are known BEFORE any posting list is collected.  The old
+    # groupBy(s).collect_list materialized the FULL posting list of a
+    # stopword shingle in ONE in-memory aggregation buffer — 10^8+ ids for
+    # a single key at 10^10 docs, an executor OOM AQE can't split.  Here a
+    # key either has n <= shingle_cap rows (its collected array is bounded
+    # by construction) or flows to the hot branch as plain rows; no
+    # O(hot-postings) array ever exists.
+    from pyspark.sql import Window
+
+    counted = inv.select(
+        "id", "s", F.count("*").over(Window.partitionBy("s")).alias("_n")
+    )
+    nonhot = (
+        counted.filter((F.col("_n") > 1) & (F.col("_n") <= shingle_cap))
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    )
     inter_nonhot = (
         nonhot.select(
             F.explode(
                 F.flatten(
                     F.transform(
-                        F.array_sort("ids"),
+                        F.col("ids"),
                         lambda a, ai: F.transform(
-                            F.slice(F.array_sort("ids"), ai + 2, F.size("ids")),
+                            F.slice(F.col("ids"), ai + 2, F.size("ids")),
                             lambda b: F.struct(a.alias("a"), b.alias("b")),
                         ),
                     )
@@ -342,8 +378,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter_nonhot"))
     )
 
-    hot_keys = grouped.filter(F.size("ids") > shingle_cap).select("s")
-    hot_inv = inv.join(hot_keys, "s", "left_semi")
+    hot_inv = counted.filter(F.col("_n") > shingle_cap).select("id", "s")
     inter_hot = (
         inter_nonhot.select("a", "b")
         .join(hot_inv.withColumnsRenamed({"id": "a"}), "a")
@@ -575,24 +610,8 @@ def cosine_dup_pairs_blocked(
         rhs = keyed.select("blk", F.col("id").alias("b"), F.col("vec").alias("vb"))
         joined = lhs.join(rhs, "blk").filter(F.col("a") < F.col("b"))
     else:
-        capped = (
-            keyed.groupBy("blk")
-            .agg(F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-        cand = capped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a, ai: F.transform(
-                            F.slice(F.col("ids"), ai + 2, F.size("ids")),
-                            lambda b: F.struct(a.alias("a"), b.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
+        capped = _capped_bucket_ids(keyed.select("blk", "id"), ["blk"], "id", bucket_cap)
+        cand = _bucket_pairs(capped, dedup=False)  # one block per vector: no repeats
         joined = cand.join(
             keyed.select(F.col("id").alias("a"), F.col("vec").alias("va")), "a"
         ).join(keyed.select(F.col("id").alias("b"), F.col("vec").alias("vb")), "b")

@@ -124,14 +124,16 @@ def q_composed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is BENCH/ANN.md's `composed` rows (0.963 at probe=12/16, C=400 on the
     sf0.1 table — residual loss is IVF pruning; the m=16 ADC shortlist is
     lossless there)."""
-    import tempfile
-
-    from commoncrawlnewsdataset_spark.operators.ann_index import AnnIndex
+    from commoncrawlnewsdataset_spark.operators.ann_index import (
+        AnnIndex,
+        ensure_shared_index,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = tempfile.mkdtemp(prefix="annix-")
-    AnnIndex.build(emb, path, n_lists=8, m=16, k_codes=16)
-    ix = AnnIndex.load(spark, path)
+    # shared per-dataset cache with a source signature — no tempdir leaked
+    # per run (ADVICE r5), and the save/load round trip is still exercised
+    ix = ensure_shared_index(spark, sf_dir)
+    ix = AnnIndex.load(spark, ix.path)
     row = emb.orderBy("vec_id").select("embedding").first()
     qv = [float(x) for x in row["embedding"]]
     return ix.search(qv, k=20, n_probe=6, shortlist=100)

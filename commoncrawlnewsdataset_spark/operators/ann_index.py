@@ -52,6 +52,49 @@ from commoncrawlnewsdataset_spark.operators.similarity import (
 )
 
 
+INDEX_CACHE_ROOT = "/tmp/ccn_annix_v1"
+
+
+def ensure_shared_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 8,
+    m: int = 16,
+    k_codes: int = 16,
+) -> "AnnIndex":
+    """Deterministic per-dataset index under a shared cache dir (one
+    ``sfkey=<basename(sf_dir)>`` partition per dataset), built once and
+    reused across driver runs / selfcheck / tests — replaces the
+    tempfile.mkdtemp-per-run build that leaked index dirs in /tmp (ADVICE
+    r5).  A source signature (row count + vec_id sum + rounded component
+    sum) is stored in meta.json; if the source table changed, the stale
+    index is rebuilt in place, so the content-matching DuckDB oracle can
+    never pick up rows from an outdated build."""
+    path = os.path.join(
+        INDEX_CACHE_ROOT, f"sfkey={os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sig_row = emb.agg(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("ids"),
+        F.round(F.sum(F.element_at(F.col("embedding"), 1)), 3).alias("s"),
+    ).first()
+    sig = [int(sig_row["n"]), int(sig_row["ids"]), float(sig_row["s"])]
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path) and os.path.exists(
+        os.path.join(path, "rows", "_SUCCESS")
+    ):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("source_sig") == sig:
+            return AnnIndex(spark, path, meta)
+    ix = AnnIndex.build(emb, path, n_lists=n_lists, m=m, k_codes=k_codes)
+    ix.meta["source_sig"] = sig
+    with open(meta_path, "w") as f:
+        json.dump(ix.meta, f)
+    return ix
+
+
 class AnnIndex:
     """Handle over a built index directory: `meta` carries centroids,
     rotation, codebooks and defaults; `rows` is the list-partitioned

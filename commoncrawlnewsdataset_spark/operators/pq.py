@@ -137,22 +137,34 @@ def pq_encode(
     return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
+def adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """The per-query ADC lookup table lut[j][c] = dot(query_sub_j,
+    codebook[j][c]) / |query| — exposed separately so an external replay
+    (the composed-ANN DuckDB oracle) can consume the exact floats the scan
+    expression folds in."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    return [
+        [float(_dot_py(query_vec[j * dsub : (j + 1) * dsub], c) / qnorm) for c in codebooks[j]]
+        for j in range(m)
+    ]
+
+
 def adc_score_expr(
     query_vec: list[float],
     codebooks: list[list[list[float]]],
     codes_col: str = "codes",
 ) -> Column:
-    """ADC score as a Column: per-query lookup table lut[j][c] =
-    dot(query_sub_j, codebook[j][c]) folded into literal arrays; a row's
-    score is m element_at lookups — the scan never touches float vectors.
-    Shared by pq_topk and the composed AnnIndex coarse stage."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    """ADC score as a Column: the ``adc_lut`` table folded into literal
+    arrays; a row's score is m element_at lookups — the scan never touches
+    float vectors.  Shared by pq_topk and the composed AnnIndex coarse
+    stage."""
     score = None
-    for j in range(m):
-        qs = query_vec[j * dsub : (j + 1) * dsub]
-        lut = F.array(*[F.lit(float(_dot_py(qs, c) / qnorm)) for c in codebooks[j]])
+    for j, lut_j in enumerate(adc_lut(query_vec, codebooks)):
+        lut = F.array(*[F.lit(v) for v in lut_j])
         term = F.element_at(lut, F.element_at(codes_col, j + 1) + 1)
         score = term if score is None else score + term
     return score

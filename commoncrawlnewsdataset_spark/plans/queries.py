@@ -1594,6 +1594,93 @@ FROM documents d JOIN topk t ON d.doc_id = t.vec_id
 """
 
 
+def q_composed_ann_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 served by the composed AnnIndex end-to-end (VERDICT r5 #2): the
+    reference's user-facing flow — index.search -> metadata join
+    (Example_Usage/Semantic_search_f32.py:21-47) — through ONE index object
+    (IVF pruning x OPQ/ADC shortlist x exact cosine rescore).
+
+    VALUE-ORACLED, unlike composed_ann_topk's rows-only check: codes and
+    centroids are bit-reproducible (6dp-rounded means), so given the
+    index's own parquet the output is fully deterministic — DuckDB replays
+    the ADC shortlist selection, the exact rescore, and the join from
+    /tmp/ccn_annix_v1, with the probed lists and the per-query ADC lookup
+    table riding along in aux.parquet."""
+    from commoncrawlnewsdataset_spark.plans.semantic_search import (
+        search_composed_with_metadata,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in row["embedding"]]
+    docs = _t(spark, sf_dir, "documents")
+    return search_composed_with_metadata(
+        spark, sf_dir, qv, docs, id_col="doc_id",
+        cols=("source", "lang", "n_chars"), k=10, n_probe=6, shortlist=100,
+    )
+
+
+# Replays the composed search from the index's own artifacts: (1) pick the
+# index whose rows content-match the embeddings view exactly (sf0.001 and
+# sf0.01 both have 500 vectors, so row COUNT cannot disambiguate — the join
+# on (vec_id, embedding) can); (2) ADC-score the probed lists' codes with
+# the aux lookup table in the same fold order; (3) shortlist top-100 by
+# (adc desc, vec_id); (4) exact cosine rescore (ORACLE_COSINE_TOPK's
+# proven fold shape, round 4 = brute_force_topk); (5) metadata join.
+ORACLE_COMPOSED_ANN_METADATA = """
+WITH sel AS (
+  SELECT min(sfkey) AS sk FROM (
+    SELECT r.sfkey
+    FROM read_parquet('/tmp/ccn_annix_v1/*/rows/*/*.parquet', hive_partitioning=true) r
+    LEFT JOIN embeddings e ON e.vec_id = r.vec_id AND e.embedding = r.embedding
+    GROUP BY r.sfkey
+    HAVING count(*) = (SELECT count(*) FROM embeddings)
+       AND count(e.vec_id) = count(*)
+  )
+),
+aux AS (
+  SELECT a.lists, a.lut
+  FROM read_parquet('/tmp/ccn_annix_v1/*/aux.parquet', hive_partitioning=true) a
+  WHERE a.sfkey = (SELECT sk FROM sel)
+),
+probed AS (
+  SELECT r.vec_id, r.codes, r.embedding
+  FROM read_parquet('/tmp/ccn_annix_v1/*/rows/*/*.parquet', hive_partitioning=true) r, aux a
+  WHERE r.sfkey = (SELECT sk FROM sel)
+    AND list_contains(a.lists, CAST(r."list" AS BIGINT))
+),
+adc AS (
+  SELECT p.vec_id, p.embedding,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.codes)),
+                              j -> a.lut[j][p.codes[j] + 1])),
+               (x, y) -> x + y), 4) AS _adc
+  FROM probed p, aux a
+),
+short AS (
+  SELECT vec_id, embedding FROM adc ORDER BY _adc DESC, vec_id LIMIT 100
+),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+topk AS (
+  SELECT s.vec_id,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(s.embedding)),
+                                i -> CAST(s.embedding[i] AS DOUBLE) * q.qv[i])), (a,x) -> a + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,x) -> a + x))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(q.qv, x -> x * x)), (a,x) -> a + x))), 4) AS score
+  FROM short s CROSS JOIN q
+  ORDER BY score DESC, vec_id LIMIT 10
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars, t.score
+FROM documents d JOIN topk t ON d.doc_id = t.vec_id
+"""
+
+
 def q_token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1+A2: explode tokens, global top-20 token counts (the geomap
     explode/count shape, 07_geocode_news.py:135-143)."""
@@ -2791,6 +2878,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vectors
         "hamming_topk": q_hamming_topk,
         "ann_metadata_join": q_ann_metadata_join,
+        "composed_ann_metadata": q_composed_ann_metadata,
         "calibration_ranges": q_calibration_ranges,
         "cosine_topk": q_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2869,6 +2957,7 @@ def oracle_sqls() -> dict[str, str]:
         "tld_logic": ORACLE_TLD,
         "hamming_topk": ORACLE_HAMMING,
         "ann_metadata_join": ORACLE_ANN_METADATA,
+        "composed_ann_metadata": ORACLE_COMPOSED_ANN_METADATA,
         "calibration_ranges": ORACLE_CALIBRATION,
         "cosine_topk": ORACLE_COSINE_TOPK,
         "cosine_dup_pairs": ORACLE_COSINE_DUPS,

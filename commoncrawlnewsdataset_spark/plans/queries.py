@@ -748,6 +748,60 @@ WHERE ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r
 """
 
 
+# DuckDB replay of textmetrics.token_estimate (parity-probed over the whole
+# documents table): letter runs ceil(len/4) + digit runs ceil(len/3) +
+# one per other non-space symbol, \p{L}/\p{N} identical in Java regex & RE2.
+SQL_TOKEN_ESTIMATE = r"""(
+  list_reduce(list_prepend(0, list_transform(regexp_extract_all(coalesce({col}, ''), '\p{{L}}+'),
+      p -> CAST(ceil(len(p)/4.0) AS BIGINT))), (a,b) -> a+b)
++ list_reduce(list_prepend(0, list_transform(regexp_extract_all(coalesce({col}, ''), '\p{{N}}+'),
+      p -> CAST(ceil(len(p)/3.0) AS BIGINT))), (a,b) -> a+b)
++ len(regexp_replace(coalesce({col}, ''), '[\p{{L}}\p{{N}}\s]', '', 'g')))"""
+
+TOKEN_MIXTURE_BUDGET = 20_000  # subword tokens; 'de' clamps at sf0.01
+
+
+def q_corpus_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing knob budgeted in SUBWORD TOKENS (VERDICT r5 #3):
+    identical flow to corpus_mixture, but availability and budget are
+    measured by functions.textmetrics.token_estimate — the unit a real LLM
+    corpus build mixes by — instead of characters.  The oracle recomputes
+    the per-language token sums, the clamped rates, and the md5-threshold
+    row set end-to-end in DuckDB."""
+    from commoncrawlnewsdataset_spark.functions.textmetrics import token_estimate
+    from commoncrawlnewsdataset_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens_est", token_estimate(F.col("text"))
+    )
+    return mixture_sample(
+        docs, "lang", "doc_id", MIXTURE_WEIGHTS, TOKEN_MIXTURE_BUDGET,
+        size_col="n_tokens_est",
+    ).select("doc_id", "lang", "n_tokens_est")
+
+
+def _oracle_corpus_mixture_tokens() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS.items())
+    est = SQL_TOKEN_ESTIMATE.format(col="text")
+    return f"""
+WITH est AS (
+  SELECT doc_id, lang, {est} AS n_tokens_est FROM documents
+), avail AS (
+  SELECT lang, CAST(sum(n_tokens_est) AS DOUBLE) AS a FROM est GROUP BY lang
+), w(lang, w) AS (
+  VALUES {vals}
+), r AS (
+  SELECT w.lang,
+         CAST(floor(least(1.0, (w.w * {TOKEN_MIXTURE_BUDGET}) / a.a)
+                    * 4294967296.0) AS BIGINT) AS thr
+  FROM w JOIN avail a ON a.lang = w.lang
+)
+SELECT e.doc_id, e.lang, e.n_tokens_est
+FROM est e JOIN r ON r.lang = e.lang
+WHERE ('0x' || substr(md5('0:' || CAST(e.doc_id AS VARCHAR)), 1, 8))::BIGINT < r.thr
+"""
+
+
 CHUNK_TOKENS = 512
 
 
@@ -767,6 +821,34 @@ ORACLE_PACK_CHUNKS = f"""
 WITH n AS (
   SELECT doc_id,
          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tok_end
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((tok_end - n_tokens) / {CHUNK_TOKENS}.0) AS BIGINT) ELSE -1 END AS first_chunk,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((tok_end - 1) / {CHUNK_TOKENS}.0) AS BIGINT) ELSE -1 END AS last_chunk
+FROM c
+"""
+
+
+def q_pack_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in SUBWORD TOKENS (VERDICT r5 #3): the
+    same scale-safe two-phase prefix sum, with per-document counts from
+    textmetrics.token_estimate instead of whitespace words — the layout a
+    real pretraining run shards by."""
+    from commoncrawlnewsdataset_spark.functions.textmetrics import token_estimate
+    from commoncrawlnewsdataset_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(docs, CHUNK_TOKENS, counter=token_estimate)
+
+
+ORACLE_PACK_CHUNKS_TOKENS = f"""
+WITH n AS (
+  SELECT doc_id, CAST({SQL_TOKEN_ESTIMATE.format(col="text")} AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
@@ -2856,11 +2938,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "corpus_mixture": q_corpus_mixture,
+        "corpus_mixture_tokens": q_corpus_mixture_tokens,
         "sample_per_month": q_sample_per_month,
         "length_quantiles": q_length_quantiles,
         "tfidf_topk": q_tfidf_topk,
         "unigram_nll": q_unigram_nll,
         "pack_chunks": q_pack_chunks,
+        "pack_chunks_tokens": q_pack_chunks_tokens,
         "corpus_pipeline": q_corpus_pipeline,
         "doc_source_antijoin": q_doc_source_antijoin,
         "hashed_ids": q_hashed_ids,
@@ -2936,11 +3020,13 @@ def oracle_sqls() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "hash_split": _oracle_hash_split(),
         "corpus_mixture": _oracle_corpus_mixture(),
+        "corpus_mixture_tokens": _oracle_corpus_mixture_tokens(),
         "sample_per_month": ORACLE_SAMPLE_PER_MONTH,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "tfidf_topk": ORACLE_TFIDF,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "pack_chunks": ORACLE_PACK_CHUNKS,
+        "pack_chunks_tokens": ORACLE_PACK_CHUNKS_TOKENS,
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "doc_source_antijoin": ORACLE_DOC_ANTIJOIN,
         "hashed_ids": ORACLE_HASHED_IDS,

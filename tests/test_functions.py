@@ -322,3 +322,24 @@ def test_pil_resize_adapter_contract(spark, tmp_path):
     row = media.mapInPandas(gen, PIL_RESIZE_SCHEMA).first()
     assert (row["out_w"], row["out_h"]) == (48, 32)
     assert bytes(row["resized"]) == b"RAWBYTES|PNG|(48, 32)|LANCZOS-MARKER"
+
+
+def test_token_estimate_subword_budget(spark):
+    """token_estimate (VERDICT r5 #3): letter runs ceil(len/4), digit runs
+    ceil(len/3), 1 per other symbol; null/empty -> 0; unicode letters count
+    as letter runs (CJK ~1 token/char via short runs)."""
+    from commoncrawlnewsdataset_spark.functions.textmetrics import token_estimate
+
+    rows = [
+        (1, "hello"),            # ceil(5/4) = 2
+        (2, "hi"),               # 1
+        (3, "12345"),            # ceil(5/3) = 2
+        (4, "a.b,c"),            # 1+1+1+1+1 = 5
+        (5, ""),                 # 0
+        (6, None),               # 0
+        (7, "héllo wörld"),      # 2 + 2 (unicode letters in runs)
+        (8, "internationalization"),  # ceil(20/4) = 5
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {r["i"]: r["t"] for r in df.select("i", token_estimate(F.col("text")).alias("t")).collect()}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 5, 5: 0, 6: 0, 7: 4, 8: 5}

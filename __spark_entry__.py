@@ -410,9 +410,25 @@ def _oracle_ner_gazetteer() -> str:
     literal alternations), lower() for the X9 normalization (the gazetteer
     alphabet contains nothing X9 strips — RE2 lacks unicode \\w so the
     literal regex can't be replayed, but on this domain lower() IS X9)."""
+    import re as _re
+
     from commoncrawlnewsdataset_spark.synth import CITY_GAZETTEER
 
     names = [n for n, _, _ in CITY_GAZETTEER]
+    # Guard the alternation AND the SQL literal (ADVICE r5): the Spark
+    # matcher re.escape()s names, but this replay interpolates them raw —
+    # a future gazetteer entry containing '.', '(' or an apostrophe would
+    # silently diverge the oracle (or break the VALUES clause).  Cross-
+    # engine escape rules differ (RE2 rejects '\\ ' that Python/Java
+    # accept), so instead of escaping, fail loud outside the known-literal
+    # alphabet: letters (incl. latin-1), digits, spaces, hyphens — all
+    # regex-literal in an alternation in both engines.
+    for n in names:
+        if not _re.fullmatch(r"[A-Za-zÀ-ÿ0-9 \-]+", n):
+            raise ValueError(
+                f"gazetteer name {n!r} outside the regex-literal alphabet — "
+                "extend _oracle_ner_gazetteer with RE2-safe escaping first"
+            )
     vals = ", ".join(f"({i}, '{n}')" for i, n in enumerate(names))
     pattern = "|".join(sorted(names, key=len, reverse=True))
     return f"""

@@ -158,6 +158,9 @@ def main() -> None:
                     "n_fetched": wave["n_fetched"],
                     "cpus": int(cpus),
                     "wave_samples_s": [round(w["elapsed_s"], 3) for w in samples],
+                    # ADVICE r5: tag the sampling protocol so cross-round
+                    # rows stay apples-to-apples (r1-r4 were single-shot)
+                    "sampling": "warmup+best_of_2",
                 },
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),

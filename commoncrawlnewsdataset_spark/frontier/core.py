@@ -188,10 +188,27 @@ def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
     fetched set every wave."""
     aa = a.withColumnsRenamed({"words": "_wa"})
     bb = b.withColumnsRenamed({"words": "_wb"})
+    # Fail LOUD on a (num_shards, m_bits) mismatch (ADVICE r5): zip_with
+    # null-pads different-length word arrays, which would OR in nulls and
+    # silently produce false NEGATIVES — re-selecting already-fetched urls.
+    # A stale persisted shard set (e.g. bloom_meta from an older layout) is
+    # a config bug and must surface as an error, not degraded dedup.
+    mismatch = F.raise_error(
+        F.concat(
+            F.lit("merge_bloom_shards: words-length mismatch on shard "),
+            F.col("shard").cast("string"),
+            F.lit(" ("),
+            F.size("_wa").cast("string"),
+            F.lit(" vs "),
+            F.size("_wb").cast("string"),
+            F.lit(" words) — shard sets built with different (num_shards, m_bits)"),
+        )
+    )
     return aa.join(bb, "shard", "full").select(
         "shard",
         F.when(F.col("_wa").isNull(), F.col("_wb"))
         .when(F.col("_wb").isNull(), F.col("_wa"))
+        .when(F.size("_wa") != F.size("_wb"), mismatch)
         .otherwise(F.zip_with("_wa", "_wb", lambda x, y: x.bitwiseOR(y)))
         .alias("words"),
     )

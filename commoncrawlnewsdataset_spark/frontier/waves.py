@@ -373,6 +373,11 @@ class WaveRunner:
             return self.spark.read.parquet(path)
         tbl = self._ckpt_table_name(upto, n_buckets)
         if not self.spark.catalog.tableExists(tbl):
+            if "'" in path:  # interpolated into the LOCATION literal below
+                raise ValueError(
+                    f"state_dir path {path!r} contains a single quote — "
+                    "unsupported in the checkpoint table LOCATION"
+                )
             schema = self.spark.read.parquet(path).schema
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
@@ -383,6 +388,27 @@ class WaveRunner:
                 f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
             )
         return self.spark.table(tbl)
+
+    def _drop_stale_ckpt_tables(self, keep_upto: int) -> None:
+        """Unregister catalog entries for this state dir's SUPERSEDED
+        checkpoints (ADVICE r5: long-lived sessions otherwise accumulate one
+        external table per compaction forever).  Metadata-only — the DROP of
+        an external-LOCATION table never touches the parquet files, which
+        remain readable by wave-log protocol; only tables below
+        ``keep_upto`` go, so concurrent readers of the newest checkpoint
+        are unaffected."""
+        import zlib
+
+        tag = zlib.crc32(os.path.abspath(self.state_dir).encode()) & 0xFFFFFFFF
+        prefix = f"ccn_state_{tag:08x}_"
+        for t in self.spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                try:
+                    upto = int(t.name[len(prefix):].split("_")[0])
+                except ValueError:
+                    continue
+                if upto < keep_upto:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
     def fork(self, new_state_dir: str, upto_wave: int | None = None) -> "WaveRunner":
         """Resume mid-crawl from ANY snapshot (north_rule): materialize the
@@ -483,6 +509,9 @@ class WaveRunner:
                 json.dump({"n_buckets": self.bucket_state}, f)
             if self.use_bloom:
                 self._write_ckpt_bloom(upto, state_path)
+            # metadata hygiene: older checkpoints' catalog entries are now
+            # superseded (their files stay on disk per the wave-log protocol)
+            self._drop_stale_ckpt_tables(upto)
         else:
             snap.write.mode("overwrite").parquet(state_path)
         with open(os.path.join(out, "_COMMITTED"), "w") as f:

@@ -1230,3 +1230,54 @@ def test_bucketed_state_bucket_count_is_persisted(spark, tmp_path):
     upgraded = dataclasses.replace(plain, bucket_state=16)
     assert upgraded._ckpt_bucket_count(plain.committed_checkpoints()[-1]) is None
     assert upgraded.state().count() == plain.state().count()
+
+
+def test_compact_drops_superseded_catalog_tables(spark, tmp_path):
+    """ADVICE r5: each bucketed compact() unregisters the previous
+    checkpoints' catalog entries for THIS state dir (metadata only — the
+    parquet files and older-snapshot reads keep working), so long sessions
+    don't accumulate stale external tables; other state dirs' entries are
+    untouched; and a state dir containing a single quote fails loud before
+    reaching the SQL literal."""
+    import zlib
+
+    runner = _bucketed_runner(spark, str(tmp_path / "drop"), 8)
+    other = _bucketed_runner(spark, str(tmp_path / "other"), 8)
+    urls = [f"https://h{i % 3}.example.org/d/{i}" for i in range(24)]
+    for r in (runner, other):
+        r.load_seeds(_parity_seeds(spark, urls))
+        r.run_wave()
+        r.compact()
+    tag = zlib.crc32(str(tmp_path / "drop").encode()) & 0xFFFFFFFF
+    prefix = f"ccn_state_{tag:08x}_"
+    runner.state().count()  # registers ckpt table for wave 1
+    assert any(t.name.startswith(prefix) for t in spark.catalog.listTables())
+
+    runner.run_wave()
+    runner.compact()
+    runner.state().count()
+    mine = [t.name for t in spark.catalog.listTables() if t.name.startswith(prefix)]
+    assert len(mine) == 1 and mine[0].startswith(f"{prefix}00002")
+    # the other state dir's entry survives
+    otag = zlib.crc32(str(tmp_path / "other").encode()) & 0xFFFFFFFF
+    other.state().count()
+    assert any(t.name.startswith(f"ccn_state_{otag:08x}_") for t in spark.catalog.listTables())
+    # older snapshots still resolve (files untouched, table re-registered)
+    assert runner.state(upto_wave=1).count() > 0
+
+    import dataclasses
+    import os
+    import pytest as _pytest
+
+    quoted_dir = str(tmp_path / "qu'ote")
+    os.makedirs(quoted_dir, exist_ok=True)
+    q = dataclasses.replace(runner, state_dir=quoted_dir)
+    q.load_seeds(_parity_seeds(spark, urls[:6]))
+    q.run_wave()
+    q.compact()  # saveAsTable path-option API: quoting safe here
+    qtag = zlib.crc32(os.path.abspath(quoted_dir).encode()) & 0xFFFFFFFF
+    for t in spark.catalog.listTables():  # simulate a fresh session
+        if t.name.startswith(f"ccn_state_{qtag:08x}_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    with _pytest.raises(ValueError, match="single quote"):
+        q.state().count()  # re-registration interpolates LOCATION

@@ -527,12 +527,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # missing from the latest round; tier 2: the rest.
         never_checked = name not in ever
         oracle_unproven = name in with_oracle and name not in ever_green
-        tier = 0 if (never_checked or oracle_unproven) else (
+        # implementation changed this round: the oracle must re-certify the
+        # NEW plan in the driver window, not coast on last round's green
+        changed = name in CHANGED_THIS_ROUND
+        tier = 0 if (never_checked or oracle_unproven or changed) else (
             1 if name not in latest else 2
         )
         return (tier, name not in with_oracle, name)
 
     return {k: qs[k] for k in sorted(qs, key=rank)}
+
+
+# Queries whose IMPLEMENTATION was reworked in the current round — update
+# per round.  r6: the pair generators' bounded-buffer rework
+# (rank-before-collect / counts-first, operators/dedup.py).
+CHANGED_THIS_ROUND = {
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "jaccard_pairs",
+    "cosine_dup_pairs_lsh",
+    "cosine_dup_pairs",
+    "pack_chunks",
+    "corpus_mixture",
+}
 
 
 # media_features is fully DuckDB-reproducible: the stub feature is bytes of

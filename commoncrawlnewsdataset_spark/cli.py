@@ -171,9 +171,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--budget", type=int, default=10)
     c.add_argument("--nsalt", type=int, default=8)
     c.add_argument("--wave-seconds", type=float, default=None)
-    c.add_argument("--bucket-state", type=int, default=None,
+    c.add_argument("--bucket-state", type=int, default=64,
                    help="bucket count for url-bucketed state checkpoints "
-                        "(Exchange-free frontier joins after compaction)")
+                        "(Exchange-free frontier joins after compaction; "
+                        "the 100-TB default — pass 0 for plain parquet "
+                        "checkpoints)")
     c.add_argument("--pages", default=None,
                    help="page-sink dir: persist fetched html per wave")
     c.set_defaults(fn=_crawl)

@@ -593,7 +593,18 @@ class WaveRunner:
 
     def load_seeds(self, seeds: DataFrame) -> None:
         """S1 frontier bootstrap: canonicalize, key, dedup (first discovery
-        wins by priority desc then url), status=pending, wave=0."""
+        wins by priority desc then url), status=pending, wave=0.
+
+        A bare url list is a valid seed set (the reference's seed files are
+        one url per line): ``priority`` defaults to 0.0 and
+        ``discovered_ts`` to the epoch — deterministic constants, so the
+        dedup window and the wave ORDER CONTRACT stay reproducible."""
+        if "priority" not in seeds.columns:
+            seeds = seeds.withColumn("priority", F.lit(0.0))
+        if "discovered_ts" not in seeds.columns:
+            seeds = seeds.withColumn(
+                "discovered_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+            )
         keyed = with_frontier_keys(seeds)
         w = Window.partitionBy("url").orderBy(F.desc("priority"), F.asc("discovered_ts"))
         deduped = keyed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -2843,9 +2843,16 @@ def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
         use_robots=False, fetcher=md5_fetch_with_payload,
         detailed_metrics=False, page_sink_dir=pages_dir,
+        bucket_state=16,
     )
     runner.load_seeds(seeds)
     runner.run_wave()
+    # compact between the waves (VERDICT r5 #4: bucketed frontier as the
+    # capstone DEFAULT): wave 2's URL-seen gate runs the production split
+    # path — Exchange-free bucketed checkpoint join + incremental bloom —
+    # inside this oracle-checked row; gate semantics are provably identical
+    # so the replayed values don't change
+    runner.compact()
     runner.run_wave()
     arts = extract_articles(runner.pages())
     gated = arts.filter(token_count_ws(F.col("text")).between(50, 10000))

@@ -4,7 +4,14 @@ per-wave cost stays FLAT — i.e. the O(delta) snapshot read + checkpoint
 cadence actually holds at the wave counts the north rule implies, extending
 BENCH/ODELTA.md's single datapoint.  Writes BENCH/SOAK.md.
 
-Usage: python tools/soak_bench.py [n_urls] [n_hosts] [budget] [compact_every] [max_waves] [out_md]
+Usage: python tools/soak_bench.py [n_urls] [n_hosts] [budget] [compact_every] [max_waves] [out_md] [bucket_state]
+
+``bucket_state`` > 0 runs the frontier in url-bucketed checkpoint mode
+(VERDICT r5 #4) — compaction writes a bucketed+sorted table, the per-wave
+URL-seen gate joins Exchange-free against it and builds the bloom
+incrementally.  Every run records a per-wave SHUFFLE WRITE column (Spark UI
+REST, cumulative deltas) so plain vs bucketed shuffle mass is directly
+comparable wave by wave.
 """
 
 from __future__ import annotations
@@ -24,13 +31,31 @@ def main() -> None:
     compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     max_waves = int(sys.argv[5]) if len(sys.argv) > 5 else 50
     out_md = sys.argv[6] if len(sys.argv) > 6 else "BENCH/SOAK.md"
+    bucket_state = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 
     from pyspark.sql import functions as F
 
     from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
     from commoncrawlnewsdataset_spark.session import get_spark
 
-    spark = get_spark("soak-bench")
+    spark = get_spark("soak-bench", extra_conf={"spark.ui.enabled": "true"})
+
+    def shuffle_write_bytes() -> int:
+        """Cumulative shuffle-write bytes across completed stages (UI REST;
+        measurement-only — the engine never depends on the UI)."""
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
+            ) as r:
+                stages = _json.load(r)
+            return sum(st.get("shuffleWriteBytes", 0) for st in stages)
+        except Exception:
+            return -1
     # synthesize the frontier distributed (a 10^6-row driver loop would be
     # the bottleneck, not the engine)
     seeds = spark.range(n_urls).select(
@@ -51,16 +76,20 @@ def main() -> None:
     runner = WaveRunner(
         spark, state_dir, per_host_budget=budget, nsalt=8,
         use_robots=False, detailed_metrics=False,
+        bucket_state=bucket_state or None,
     )
     t0 = time.time()
     runner.load_seeds(seeds)
     seed_s = time.time() - t0
 
     rows = []
+    shuf_prev = shuffle_write_bytes()
     for _ in range(max_waves):
         t0 = time.time()
         m = runner.run_wave()
         wall = time.time() - t0
+        shuf_now = shuffle_write_bytes()
+        shuf_mb = (shuf_now - shuf_prev) / 1e6 if shuf_now >= 0 and shuf_prev >= 0 else -1
         note = ""
         if (
             compact_every
@@ -71,7 +100,8 @@ def main() -> None:
             runner.compact(m["wave"])
             expired = runner.expire_snapshots()
             note = f"compact {time.time()-tc:.1f}s, expired {len(expired)}"
-        rows.append((m["wave"], m.get("n_selected", 0), wall, m.get("phase_s", {}), note))
+        shuf_prev = shuffle_write_bytes()  # compaction shuffle not charged to waves
+        rows.append((m["wave"], m.get("n_selected", 0), wall, m.get("phase_s", {}), note, shuf_mb))
         if m.get("done"):
             break
 
@@ -85,7 +115,8 @@ def main() -> None:
     with open(out_md, "w") as f:
         f.write(
             f"# {max_waves}-wave compaction soak — {n_urls:,} urls, {n_hosts:,} hosts, "
-            f"budget {budget}, compact_every={compact_every} + expire_snapshots\n\n"
+            f"budget {budget}, compact_every={compact_every} + expire_snapshots"
+            f"{f', bucket_state={bucket_state}' if bucket_state else ''}\n\n"
             f"Seed load: {seed_s:.1f}s.  Total: {total_fetched:,} urls attempted "
             f"over {len(work)} working waves, {total_s:.1f}s "
             f"({total_fetched/total_s:,.0f} urls/s sustained, local[32]).\n\n"
@@ -97,13 +128,14 @@ def main() -> None:
             "ratios well below 1 additionally reflect the draining pending "
             "set, since wave SELECTION is inherently O(pending): the "
             "politeness queue ranks every pending url per host).\n\n"
-            "| wave | selected | wall (s) | plan (s) | fetch+metrics (s) | write (s) | compaction |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| wave | selected | wall (s) | plan (s) | fetch+metrics (s) | write (s) | shuffle write (MB) | compaction |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
-        for w, nsel, wall, ph, note in rows:
+        for w, nsel, wall, ph, note, shuf_mb in rows:
             f.write(
                 f"| {w} | {nsel:,} | {wall:.2f} | {ph.get('plan', 0):.2f} | "
-                f"{ph.get('select_fetch_metrics', 0):.2f} | {ph.get('write', 0):.2f} | {note} |\n"
+                f"{ph.get('select_fetch_metrics', 0):.2f} | {ph.get('write', 0):.2f} | "
+                f"{shuf_mb:.0f} | {note} |\n"
             )
     print(
         f"waves={len(rows)} fetched={total_fetched:,} total={total_s:.1f}s "

@@ -549,6 +549,9 @@ CHANGED_THIS_ROUND = {
     "cosine_dup_pairs",
     "pack_chunks",
     "corpus_mixture",
+    # capstone now runs bucketed checkpoints + a mid-run compaction, so its
+    # wave-2 URL-seen gate takes the production split path (VERDICT r5 #4)
+    "crawl_corpus_pipeline",
 }
 
 

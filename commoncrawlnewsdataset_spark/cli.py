@@ -49,7 +49,15 @@ def _crawl(args) -> None:
             print("state dir already seeded; resuming", file=sys.stderr)
         else:
             runner.load_seeds(spark.read.parquet(args.seeds))
-    for manifest in runner.run(max_waves=args.waves):
+    # --compact-every: without a cadence the wave log grows unbounded and
+    # (in bucket_state mode) the Exchange-free gate never engages — the
+    # soak-proven default is a checkpoint every 5 waves + delta expiry
+    # (BENCH/SOAK10M_BUCKETED.md); 0 disables both
+    for manifest in runner.run(
+        max_waves=args.waves,
+        compact_every=args.compact_every or None,
+        expire=not args.no_expire,
+    ):
         print(json.dumps(manifest))
         if manifest.get("done"):
             break
@@ -178,6 +186,13 @@ def main(argv: list[str] | None = None) -> None:
                         "checkpoints)")
     c.add_argument("--pages", default=None,
                    help="page-sink dir: persist fetched html per wave")
+    c.add_argument("--compact-every", type=int, default=5,
+                   help="checkpoint the resolved state every N waves "
+                        "(0 = never; keeps snapshot reads O(delta) and "
+                        "engages the bucketed Exchange-free gate)")
+    c.add_argument("--no-expire", action="store_true",
+                   help="keep delta files a checkpoint already covers "
+                        "(default: expire them after each compaction)")
     c.set_defaults(fn=_crawl)
 
     pl = sub.add_parser("pipeline")

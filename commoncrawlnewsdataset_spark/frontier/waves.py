@@ -947,10 +947,19 @@ class WaveRunner:
         outcome.unpersist()
         return manifest
 
-    def run(self, max_waves: int = 100, compact_every: int | None = None) -> list[dict]:
+    def run(
+        self,
+        max_waves: int = 100,
+        compact_every: int | None = None,
+        expire: bool = False,
+    ) -> list[dict]:
         """Wave loop until the frontier drains (or max_waves).
         `compact_every`: checkpoint the resolved state every N waves so the
-        per-wave snapshot read stays O(delta), not O(log)."""
+        per-wave snapshot read stays O(delta), not O(log) — and, in
+        bucket_state mode, so the Exchange-free gate path engages at all.
+        `expire`: after each compaction, delete the delta files the new
+        checkpoint covers (the documented S6 divergence: append-only log +
+        compact/expire; resume keeps working from the checkpoint)."""
         manifests = []
         for _ in range(max_waves):
             m = self.run_wave()
@@ -961,6 +970,8 @@ class WaveRunner:
                 and m["wave"] % compact_every == 0
             ):
                 self.compact(m["wave"])
+                if expire:
+                    m["expired_waves"] = self.expire_snapshots()
             if m.get("done"):
                 break
         return manifests

@@ -1281,3 +1281,60 @@ def test_compact_drops_superseded_catalog_tables(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     with _pytest.raises(ValueError, match="single quote"):
         q.state().count()  # re-registration interpolates LOCATION
+
+
+def test_load_seeds_bare_url_list(spark, tmp_path):
+    """A seed set can be a bare url list (the reference's seed files are one
+    url per line): priority/discovered_ts default to deterministic constants
+    and the bootstrap dedups + schedules exactly as with the full schema."""
+    urls = [f"https://s{i % 3}.example.org/p/{i}" for i in range(12)]
+    bare = spark.createDataFrame([(u,) for u in urls + urls[:4]], ["url"])
+    r = WaveRunner(
+        spark, str(tmp_path / "bare"), per_host_budget=10, nsalt=2,
+        use_robots=False, fetcher=lambda u, rr: (True, 1, 10),
+    )
+    r.load_seeds(bare)
+    st = r.state().collect()
+    assert len(st) == 12  # duplicates collapsed
+    assert {row["status"] for row in st} == {"pending"}
+    assert {row["priority"] for row in st} == {0.0}
+    m = r.run_wave()
+    assert m["n_fetched"] == 12
+
+
+def test_run_loop_compaction_cadence_matches_manual(spark, tmp_path):
+    """The CLI-facing run(compact_every=N, expire=True) loop is behaviorally
+    identical to an uncompacted run (same per-wave manifests, same final
+    resolved state) while actually producing checkpoints and expiring the
+    covered deltas — and a fresh runner resumes from the compacted dir."""
+    import dataclasses
+    import os as _os
+
+    urls = [f"https://c{i % 4}.example.org/p/{i}" for i in range(48)]
+    plain = _bucketed_runner(spark, str(tmp_path / "plain"), None)
+    auto = _bucketed_runner(spark, str(tmp_path / "auto"), 8)
+    plain.load_seeds(_parity_seeds(spark, urls))
+    auto.load_seeds(_parity_seeds(spark, urls))
+
+    base = plain.run(max_waves=4)
+    cad = auto.run(max_waves=4, compact_every=2, expire=True)
+    for mb, mc in zip(base, cad):
+        assert (mb["wave"], mb["n_selected"], mb["n_fetched"]) == (
+            mc["wave"], mc["n_selected"], mc["n_fetched"])
+    # checkpoints exist and the covered deltas are gone
+    assert auto.committed_checkpoints(), "cadence produced no checkpoint"
+    assert any(m.get("expired_waves") for m in cad), "expiry never ran"
+    gone = [w for m in cad for w in m.get("expired_waves", [])]
+    for w in gone:
+        assert not _os.path.isdir(
+            _os.path.join(str(tmp_path / "auto"), f"wave={w:05d}", "delta.parquet")
+        )
+    # same resolved state as the uncompacted twin
+    cols = ["url", "status", "wave"]
+    assert sorted(map(tuple, plain.state().select(*cols).collect())) == sorted(
+        map(tuple, auto.state().select(*cols).collect())
+    )
+    # fresh-session resume over the compacted+expired dir
+    resumed = dataclasses.replace(auto)
+    m = resumed.run_wave()
+    assert m["wave"] == cad[-1]["wave"] + 1

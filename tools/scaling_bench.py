@@ -256,7 +256,17 @@ def main() -> None:
     ]
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
-    out_path.write_text("\n".join(lines))
+    # hand-written measurement/honesty notes live below the generated
+    # content — carry them over verbatim so a re-run never deletes the
+    # multi-sample context (r6 regression: a refresh silently dropped the
+    # r5 shared-host note)
+    manual = ""
+    if out_path.exists():
+        prev = out_path.read_text()
+        idx = prev.find("## Measurement note")
+        if idx >= 0:
+            manual = "\n" + prev[idx:]
+    out_path.write_text("\n".join(lines) + manual)
     (REPO / "BENCH" / "scaling.json").write_text(json.dumps(rows, indent=2))
     print(f"wrote {out_path}")
 

@@ -141,7 +141,10 @@ def _maintain(args) -> None:
     from commoncrawlnewsdataset_spark.session import get_spark
 
     spark = get_spark("ccnews-maintain")
-    runner = WaveRunner(spark, args.state)
+    # same default as `crawl` (r6 review): a maintain pass over a bucketed
+    # state dir must not silently rewrite the checkpoint plain and drop the
+    # persisted bloom the crawl's compactions established
+    runner = WaveRunner(spark, args.state, bucket_state=args.bucket_state or None)
     last = runner.last_wave()
     if last < 0:
         print(json.dumps({"error": "no committed waves in state dir"}))
@@ -212,6 +215,9 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--state", required=True)
     m.add_argument("--expire", action="store_true",
                    help="also drop raw deltas covered by the checkpoint")
+    m.add_argument("--bucket-state", type=int, default=64,
+                   help="bucket count for the rewritten checkpoint (same "
+                        "default as crawl; pass 0 for a plain rewrite)")
     m.set_defaults(fn=_maintain)
 
     pr = sub.add_parser("progress")

@@ -183,8 +183,11 @@ def token_estimate(text: Column) -> Column:
     this is the beyond-reference gap VERDICT r5 'What's missing #3' names).
 
     Pure JVM column math over the same ``\\p{L}``/``\\p{N}`` classes the
-    proven ``token_count_bpe`` pattern uses (identical in Java regex and
-    RE2, so the DuckDB oracle replays it):
+    proven ``token_count_bpe`` pattern uses.  The whitespace exclusion in
+    the symbol term is an EXPLICIT char class ``[ \\t\\n\\x0B\\f\\r]``
+    (Java's default ``\\s``) rather than ``\\s`` itself: RE2's ``\\s``
+    omits vertical tab, so the shorthand silently diverges the DuckDB
+    replay on U+000B (r6 review finding, verified in both engines):
 
     - each LETTER run contributes ceil(len/4) tokens (BPE averages ~4
       chars/subword on Latin-alphabet text; CJK letters land here too at
@@ -201,7 +204,9 @@ def token_estimate(text: Column) -> Column:
             lambda acc, x: acc + x,
         )
 
-    symbols = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")).cast("long")
+    symbols = F.length(
+        F.regexp_replace(text, "[\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]", "")
+    ).cast("long")
     return F.coalesce(
         _run_tokens(r"\p{L}+", 4) + _run_tokens(r"\p{N}+", 3) + symbols,
         F.lit(0).cast("long"),

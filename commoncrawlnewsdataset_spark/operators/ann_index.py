@@ -54,6 +54,10 @@ from commoncrawlnewsdataset_spark.operators.similarity import (
 
 INDEX_CACHE_ROOT = "/tmp/ccn_annix_v1"
 
+# bump when the on-disk layout or the build algorithm changes meaning: a
+# cached index built by older code must read as stale, not "re-certified"
+INDEX_FORMAT_VERSION = 2
+
 
 def ensure_shared_index(
     spark: SparkSession,
@@ -66,10 +70,22 @@ def ensure_shared_index(
     ``sfkey=<basename(sf_dir)>`` partition per dataset), built once and
     reused across driver runs / selfcheck / tests — replaces the
     tempfile.mkdtemp-per-run build that leaked index dirs in /tmp (ADVICE
-    r5).  A source signature (row count + vec_id sum + rounded component
-    sum) is stored in meta.json; if the source table changed, the stale
-    index is rebuilt in place, so the content-matching DuckDB oracle can
-    never pick up rows from an outdated build."""
+    r5).  The stored signature covers the SOURCE (row count + vec_id sum +
+    rounded component sum) AND the index geometry + format version, so a
+    call with different (n_lists, m, k_codes) — or a layout change in the
+    build code — can never be served a mismatched cached index.
+
+    Concurrency (r6 review): builders serialize on an flock'd lockfile and
+    build into a sibling temp dir that is atomically renamed over the
+    final path, so two processes can never interleave part-files under one
+    rows/ dir, and a swapped-in index starts with NO aux.parquet — a
+    query-dependent aux from a previous build cannot survive a rebuild
+    (the replay oracle fails loudly on a missing aux instead of silently
+    replaying stale lists/lut)."""
+    import fcntl
+    import shutil
+    import uuid
+
     path = os.path.join(
         INDEX_CACHE_ROOT, f"sfkey={os.path.basename(os.path.normpath(sf_dir))}"
     )
@@ -79,20 +95,48 @@ def ensure_shared_index(
         F.sum("vec_id").alias("ids"),
         F.round(F.sum(F.element_at(F.col("embedding"), 1)), 3).alias("s"),
     ).first()
-    sig = [int(sig_row["n"]), int(sig_row["ids"]), float(sig_row["s"])]
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path) and os.path.exists(
-        os.path.join(path, "rows", "_SUCCESS")
-    ):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("source_sig") == sig:
-            return AnnIndex(spark, path, meta)
-    ix = AnnIndex.build(emb, path, n_lists=n_lists, m=m, k_codes=k_codes)
-    ix.meta["source_sig"] = sig
-    with open(meta_path, "w") as f:
-        json.dump(ix.meta, f)
-    return ix
+    sig = [
+        int(sig_row["n"]), int(sig_row["ids"]), float(sig_row["s"]),
+        int(n_lists), int(m), int(k_codes), INDEX_FORMAT_VERSION,
+    ]
+
+    def _fresh() -> "AnnIndex | None":
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path) and os.path.exists(
+            os.path.join(path, "rows", "_SUCCESS")
+        ):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("source_sig") == sig:
+                return AnnIndex(spark, path, meta)
+        return None
+
+    ix = _fresh()
+    if ix is not None:
+        return ix
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lock_path = path + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            ix = _fresh()  # a concurrent builder may have won while we waited
+            if ix is not None:
+                return ix
+            tmp = f"{path}.build.{uuid.uuid4().hex[:8]}"
+            try:
+                ix = AnnIndex.build(emb, tmp, n_lists=n_lists, m=m, k_codes=k_codes)
+                ix.meta["source_sig"] = sig
+                with open(os.path.join(tmp, "meta.json"), "w") as f:
+                    json.dump(ix.meta, f)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+            return AnnIndex(spark, path, ix.meta)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 class AnnIndex:

@@ -738,7 +738,8 @@ WITH avail AS (
   VALUES {vals}
 ), r AS (
   SELECT w.lang,
-         CAST(floor(least(1.0, (w.w * {MIXTURE_BUDGET_CHARS}) / a.a)
+         CAST(floor(CASE WHEN a.a = 0 THEN 0.0  -- Spark: empty stratum -> rate 0.0 (DuckDB x/0.0 would be inf -> least()=1.0)
+                         ELSE least(1.0, (w.w * {MIXTURE_BUDGET_CHARS}) / a.a) END
                     * 4294967296.0) AS BIGINT) AS thr
   FROM w JOIN avail a ON a.lang = w.lang
 )
@@ -749,14 +750,16 @@ WHERE ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r
 
 
 # DuckDB replay of textmetrics.token_estimate (parity-probed over the whole
-# documents table): letter runs ceil(len/4) + digit runs ceil(len/3) +
-# one per other non-space symbol, \p{L}/\p{N} identical in Java regex & RE2.
+# documents table): letter runs ceil(len/4) + digit runs ceil(len/3) + one
+# per other non-space symbol.  \p{L}/\p{N} are identical in Java regex &
+# RE2; whitespace is the EXPLICIT Java-default class [ \t\n\x0B\f\r]
+# because RE2's \s omits vertical tab (r6 review finding).
 SQL_TOKEN_ESTIMATE = r"""(
   list_reduce(list_prepend(0, list_transform(regexp_extract_all(coalesce({col}, ''), '\p{{L}}+'),
       p -> CAST(ceil(len(p)/4.0) AS BIGINT))), (a,b) -> a+b)
 + list_reduce(list_prepend(0, list_transform(regexp_extract_all(coalesce({col}, ''), '\p{{N}}+'),
       p -> CAST(ceil(len(p)/3.0) AS BIGINT))), (a,b) -> a+b)
-+ len(regexp_replace(coalesce({col}, ''), '[\p{{L}}\p{{N}}\s]', '', 'g')))"""
++ len(regexp_replace(coalesce({col}, ''), '[\p{{L}}\p{{N}} \t\n\x0B\f\r]', '', 'g')))"""
 
 TOKEN_MIXTURE_BUDGET = 20_000  # subword tokens; 'de' clamps at sf0.01
 
@@ -792,7 +795,8 @@ WITH est AS (
   VALUES {vals}
 ), r AS (
   SELECT w.lang,
-         CAST(floor(least(1.0, (w.w * {TOKEN_MIXTURE_BUDGET}) / a.a)
+         CAST(floor(CASE WHEN a.a = 0 THEN 0.0  -- zero-token stratum: match mixture_rates' rate=0.0
+                         ELSE least(1.0, (w.w * {TOKEN_MIXTURE_BUDGET}) / a.a) END
                     * 4294967296.0) AS BIGINT) AS thr
   FROM w JOIN avail a ON a.lang = w.lang
 )
@@ -1686,7 +1690,7 @@ def q_composed_ann_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are bit-reproducible (6dp-rounded means), so given the
     index's own parquet the output is fully deterministic — DuckDB replays
     the ADC shortlist selection, the exact rescore, and the join from
-    /tmp/ccn_annix_v1, with the probed lists and the per-query ADC lookup
+    the shared index cache (ann_index.INDEX_CACHE_ROOT), with the probed lists and the per-query ADC lookup
     table riding along in aux.parquet."""
     from commoncrawlnewsdataset_spark.plans.semantic_search import (
         search_composed_with_metadata,
@@ -1709,11 +1713,15 @@ def q_composed_ann_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the aux lookup table in the same fold order; (3) shortlist top-100 by
 # (adc desc, vec_id); (4) exact cosine rescore (ORACLE_COSINE_TOPK's
 # proven fold shape, round 4 = brute_force_topk); (5) metadata join.
-ORACLE_COMPOSED_ANN_METADATA = """
+from commoncrawlnewsdataset_spark.operators.ann_index import (
+    INDEX_CACHE_ROOT as _ANNIX_ROOT,  # oracle path must track the engine constant
+)
+
+ORACLE_COMPOSED_ANN_METADATA = f"""
 WITH sel AS (
   SELECT min(sfkey) AS sk FROM (
     SELECT r.sfkey
-    FROM read_parquet('/tmp/ccn_annix_v1/*/rows/*/*.parquet', hive_partitioning=true) r
+    FROM read_parquet('{_ANNIX_ROOT}/*/rows/*/*.parquet', hive_partitioning=true) r
     LEFT JOIN embeddings e ON e.vec_id = r.vec_id AND e.embedding = r.embedding
     GROUP BY r.sfkey
     HAVING count(*) = (SELECT count(*) FROM embeddings)
@@ -1722,12 +1730,12 @@ WITH sel AS (
 ),
 aux AS (
   SELECT a.lists, a.lut
-  FROM read_parquet('/tmp/ccn_annix_v1/*/aux.parquet', hive_partitioning=true) a
+  FROM read_parquet('{_ANNIX_ROOT}/*/aux.parquet', hive_partitioning=true) a
   WHERE a.sfkey = (SELECT sk FROM sel)
 ),
 probed AS (
   SELECT r.vec_id, r.codes, r.embedding
-  FROM read_parquet('/tmp/ccn_annix_v1/*/rows/*/*.parquet', hive_partitioning=true) r, aux a
+  FROM read_parquet('{_ANNIX_ROOT}/*/rows/*/*.parquet', hive_partitioning=true) r, aux a
   WHERE r.sfkey = (SELECT sk FROM sel)
     AND list_contains(a.lists, CAST(r."list" AS BIGINT))
 ),

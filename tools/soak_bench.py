@@ -38,7 +38,17 @@ def main() -> None:
     from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
     from commoncrawlnewsdataset_spark.session import get_spark
 
-    spark = get_spark("soak-bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "soak-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the shuffle column sums COMPLETED stages via the UI REST API:
+            # at the default retainedStages=1000 a long soak evicts old
+            # stages and the cumulative sum silently DROPS (r6 review) —
+            # retain enough for any soak this tool runs
+            "spark.ui.retainedStages": "200000",
+        },
+    )
 
     def shuffle_write_bytes() -> int:
         """Cumulative shuffle-write bytes across completed stages (UI REST;
@@ -90,6 +100,10 @@ def main() -> None:
         wall = time.time() - t0
         shuf_now = shuffle_write_bytes()
         shuf_mb = (shuf_now - shuf_prev) / 1e6 if shuf_now >= 0 and shuf_prev >= 0 else -1
+        if shuf_mb < 0 and shuf_now >= 0 and shuf_prev >= 0:
+            # cumulative sum went DOWN: UI evicted stages despite the raised
+            # retention — mark the sample invalid rather than print a lie
+            shuf_mb = float("nan")
         note = ""
         if (
             compact_every

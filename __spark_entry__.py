@@ -552,6 +552,12 @@ CHANGED_THIS_ROUND = {
     # capstone now runs bucketed checkpoints + a mid-run compaction, so its
     # wave-2 URL-seen gate takes the production split path (VERDICT r5 #4)
     "crawl_corpus_pipeline",
+    # r6 review fixes: token_estimate whitespace class (both engines),
+    # mixture-oracle zero-size stratum guard, ANN shared-cache rework
+    "corpus_mixture_tokens",
+    "pack_chunks_tokens",
+    "composed_ann_metadata",
+    "composed_ann_topk",
 }
 
 

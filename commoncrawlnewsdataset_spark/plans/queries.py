@@ -1690,8 +1690,9 @@ def q_composed_ann_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are bit-reproducible (6dp-rounded means), so given the
     index's own parquet the output is fully deterministic — DuckDB replays
     the ADC shortlist selection, the exact rescore, and the join from
-    the shared index cache (ann_index.INDEX_CACHE_ROOT), with the probed lists and the per-query ADC lookup
-    table riding along in aux.parquet."""
+    the shared index cache (ann_index.index_cache_root()), with the probed
+    lists and the per-query ADC lookup table riding along in the
+    query-scoped aux-<qhash>.parquet."""
     from commoncrawlnewsdataset_spark.plans.semantic_search import (
         search_composed_with_metadata,
     )
@@ -1702,26 +1703,35 @@ def q_composed_ann_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return search_composed_with_metadata(
         spark, sf_dir, qv, docs, id_col="doc_id",
-        cols=("source", "lang", "n_chars"), k=10, n_probe=6, shortlist=100,
+        cols=("source", "lang", "n_chars"), k=10, n_probe=COMPOSED_N_PROBE,
+        shortlist=100,
     )
 
 
-# Replays the composed search from the index's own artifacts: (1) pick the
-# index whose rows content-match the embeddings view exactly (sf0.001 and
-# sf0.01 both have 500 vectors, so row COUNT cannot disambiguate — the join
-# on (vec_id, embedding) can); (2) ADC-score the probed lists' codes with
-# the aux lookup table in the same fold order; (3) shortlist top-100 by
-# (adc desc, vec_id); (4) exact cosine rescore (ORACLE_COSINE_TOPK's
-# proven fold shape, round 4 = brute_force_topk); (5) metadata join.
-from commoncrawlnewsdataset_spark.operators.ann_index import (
-    INDEX_CACHE_ROOT as _ANNIX_ROOT,  # oracle path must track the engine constant
-)
+COMPOSED_N_PROBE = 6
 
-ORACLE_COMPOSED_ANN_METADATA = f"""
+
+def _oracle_composed_ann_metadata() -> str:
+    """Replays the composed search from the index's own artifacts: (1) pick
+    the index whose rows content-match the embeddings view exactly (sf0.001
+    and sf0.01 both have 500 vectors, so row COUNT cannot disambiguate —
+    the join on (vec_id, embedding) can); (2) pick the aux row whose
+    STORED query vector is the min-vec_id embedding and whose n_probe
+    matches (ADVICE r6: a concurrent search with a different query writes
+    a different aux file and can never be selected); (3) ADC-score the
+    probed lists' codes with the aux lookup table in the same fold order;
+    (4) shortlist top-100 by (adc desc, vec_id); (5) exact cosine rescore
+    (ORACLE_COSINE_TOPK's proven fold shape, round 4 = brute_force_topk);
+    (6) metadata join.  Built per-call so the interpolated cache root
+    tracks ann_index.index_cache_root() exactly."""
+    from commoncrawlnewsdataset_spark.operators.ann_index import index_cache_root
+
+    root = index_cache_root()
+    return f"""
 WITH sel AS (
   SELECT min(sfkey) AS sk FROM (
     SELECT r.sfkey
-    FROM read_parquet('{_ANNIX_ROOT}/*/rows/*/*.parquet', hive_partitioning=true) r
+    FROM read_parquet('{root}/*/rows/*/*.parquet', hive_partitioning=true) r
     LEFT JOIN embeddings e ON e.vec_id = r.vec_id AND e.embedding = r.embedding
     GROUP BY r.sfkey
     HAVING count(*) = (SELECT count(*) FROM embeddings)
@@ -1730,12 +1740,14 @@ WITH sel AS (
 ),
 aux AS (
   SELECT a.lists, a.lut
-  FROM read_parquet('{_ANNIX_ROOT}/*/aux.parquet', hive_partitioning=true) a
+  FROM read_parquet('{root}/*/aux-*.parquet', hive_partitioning=true) a
   WHERE a.sfkey = (SELECT sk FROM sel)
+    AND a.n_probe = {COMPOSED_N_PROBE}
+    AND a.qv = (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
 ),
 probed AS (
   SELECT r.vec_id, r.codes, r.embedding
-  FROM read_parquet('{_ANNIX_ROOT}/*/rows/*/*.parquet', hive_partitioning=true) r, aux a
+  FROM read_parquet('{root}/*/rows/*/*.parquet', hive_partitioning=true) r, aux a
   WHERE r.sfkey = (SELECT sk FROM sel)
     AND list_contains(a.lists, CAST(r."list" AS BIGINT))
 ),
@@ -3058,7 +3070,7 @@ def oracle_sqls() -> dict[str, str]:
         "tld_logic": ORACLE_TLD,
         "hamming_topk": ORACLE_HAMMING,
         "ann_metadata_join": ORACLE_ANN_METADATA,
-        "composed_ann_metadata": ORACLE_COMPOSED_ANN_METADATA,
+        "composed_ann_metadata": _oracle_composed_ann_metadata(),
         "calibration_ranges": ORACLE_CALIBRATION,
         "cosine_topk": ORACLE_COSINE_TOPK,
         "cosine_dup_pairs": ORACLE_COSINE_DUPS,

@@ -121,15 +121,21 @@ def search_composed_with_metadata(
     shortlist x exact cosine rescore, scores joined as a column (J5/J7).
 
     With ``write_oracle_aux`` (default), the probed list ids and the
-    per-query ADC lookup table are written to ``aux.parquet`` next to the
-    index rows — the two query-dependent inputs a DuckDB replay needs to
-    re-derive the shortlist + rescore + join from the index's own parquet
-    (the composed_ann_metadata value oracle).  Everything else in the oracle
-    path (codes, embeddings, partition layout) is the index itself."""
+    per-query ADC lookup table are written to ``aux-<qhash>.parquet`` next
+    to the index rows — the two query-dependent inputs a DuckDB replay
+    needs to re-derive the shortlist + rescore + join from the index's own
+    parquet (the composed_ann_metadata value oracle).  The file is NAMED
+    by a hash of (query_vec, n_probe) and carries both as columns (ADVICE
+    r6): a concurrent search with a different query can never replace the
+    lists/lut this query's replay reads, and the oracle selects its aux
+    row by matching the query vector and n_probe, not by file identity.
+    Everything else in the oracle path (codes, embeddings, partition
+    layout) is the index itself."""
     import os
 
     import numpy as np
 
+    from commoncrawlnewsdataset_spark.cache import publish_file, sig_hash
     from commoncrawlnewsdataset_spark.operators.ann_index import ensure_shared_index
     from commoncrawlnewsdataset_spark.operators.pq import adc_lut
     from commoncrawlnewsdataset_spark.operators.similarity import nearest_lists
@@ -144,11 +150,18 @@ def search_composed_with_metadata(
         lut = adc_lut(qr, ix.meta["codebooks"])
         aux = pa.table(
             {
+                "qv": pa.array([[float(x) for x in query_vec]],
+                               type=pa.list_(pa.float32())),
+                "n_probe": pa.array([int(n_probe)], type=pa.int64()),
                 "lists": pa.array([[int(x) for x in probe]], type=pa.list_(pa.int64())),
                 "lut": pa.array([lut], type=pa.list_(pa.list_(pa.float64()))),
             }
         )
-        papq.write_table(aux, os.path.join(ix.path, "aux.parquet"))
+        qh = sig_hash([[float(x) for x in query_vec], int(n_probe)])
+        publish_file(
+            os.path.join(ix.path, f"aux-{qh}.parquet"),
+            lambda tmp: papq.write_table(aux, tmp),
+        )
     topk = ix.search(query_vec, k=k, n_probe=n_probe, shortlist=shortlist)
     topk = topk.withColumnRenamed(ix.meta["id_col"], id_col)
     return topk_with_metadata(topk, articles, id_col, list(cols))

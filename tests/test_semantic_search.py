@@ -192,15 +192,17 @@ def test_composed_ann_index_append(spark, tmp_path):
 
 def test_shared_index_cache_rebuilds_on_stale_signature(spark, tmp_path, monkeypatch):
     """ensure_shared_index: second call with unchanged source reuses the
-    build (meta identical, no rewrite); a changed source table under the
-    same sfkey triggers an in-place rebuild — the guard that keeps the
-    content-matching DuckDB oracle from ever seeing stale rows."""
+    build (same path, meta identical, no rewrite); a changed source table
+    under the same basename builds into a NEW signature-addressed dir
+    (ADVICE r6: immutable entries — the old dir survives untouched for any
+    reader still holding it, and the content-matching DuckDB oracle can
+    never see stale rows)."""
     import json
     import os
 
     from commoncrawlnewsdataset_spark.operators import ann_index as AI
 
-    monkeypatch.setattr(AI, "INDEX_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setenv("CCN_CACHE_ROOT", str(tmp_path / "cache"))
     src = str(tmp_path / "ds1")
     os.makedirs(src)
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -209,25 +211,59 @@ def test_shared_index_cache_rebuilds_on_stale_signature(spark, tmp_path, monkeyp
     ix1 = AI.ensure_shared_index(spark, src, n_lists=4, m=8, k_codes=16)
     mtime1 = os.path.getmtime(os.path.join(ix1.path, "meta.json"))
     ix2 = AI.ensure_shared_index(spark, src, n_lists=4, m=8, k_codes=16)
+    assert ix2.path == ix1.path
     assert os.path.getmtime(os.path.join(ix2.path, "meta.json")) == mtime1
     assert ix2.meta == ix1.meta
+    # a different geometry is a different signature -> its own entry
+    ix_geo = AI.ensure_shared_index(spark, src, n_lists=2, m=8, k_codes=16)
+    assert ix_geo.path != ix1.path
 
-    # source changes under the same key -> signature mismatch -> rebuild
+    # source changes under the same basename -> NEW immutable entry; the
+    # old dir (and its meta) survive byte-identical for concurrent readers
     import shutil
 
     shutil.rmtree(f"{src}/embeddings.parquet")
     emb.filter(F.col("vec_id") < 200).write.parquet(f"{src}/embeddings.parquet")
     ix3 = AI.ensure_shared_index(spark, src, n_lists=4, m=8, k_codes=16)
+    assert ix3.path != ix1.path
     assert ix3.meta["source_sig"] != ix1.meta["source_sig"]
-    n_rows = spark.read.parquet(os.path.join(ix3.path, "rows")).count()
-    assert n_rows == 200
+    assert spark.read.parquet(os.path.join(ix3.path, "rows")).count() == 200
+    assert json.load(open(os.path.join(ix1.path, "meta.json"))) == ix1.meta
+    assert spark.read.parquet(os.path.join(ix1.path, "rows")).count() == 300
+
+
+def test_shared_index_explicit_root_and_empty_guard(spark, tmp_path):
+    """VERDICT r6 #5 / ADVICE r6: the cache root is a per-call parameter
+    (no hardcoded /tmp in the engine path), and an empty embeddings table
+    raises a clear ValueError instead of TypeError(int(None))."""
+    import os
+
+    import pytest
+
+    from commoncrawlnewsdataset_spark.operators import ann_index as AI
+
+    root = str(tmp_path / "explicit-root")
+    sf = "/root/testdata/sf0.001"
+    ix = AI.ensure_shared_index(spark, sf, n_lists=4, m=8, k_codes=16, root=root)
+    assert ix.path.startswith(root)
+    assert os.path.exists(os.path.join(ix.path, "rows", "_SUCCESS"))
+
+    empty_src = str(tmp_path / "empty-ds")
+    os.makedirs(empty_src)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 0).write.parquet(f"{empty_src}/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty"):
+        AI.ensure_shared_index(spark, empty_src, root=root)
 
 
 def test_composed_search_with_metadata_capstone(spark, tmp_path, monkeypatch):
     """VERDICT r5 #2: the composed AnnIndex drives the J5 metadata-join flow
     end-to-end (Example_Usage/Semantic_search_f32.py:21-47): k rows out,
-    score as a column, aux.parquet written for the oracle replay with the
+    score as a column, a query-scoped aux-<qhash>.parquet written for the
+    oracle replay carrying the query identity (qv, n_probe) plus the
     probed lists and an ADC LUT matching the index meta's shape."""
+    import glob
+
     import pyarrow.parquet as papq
 
     from commoncrawlnewsdataset_spark.operators import ann_index as AI
@@ -235,7 +271,7 @@ def test_composed_search_with_metadata_capstone(spark, tmp_path, monkeypatch):
         search_composed_with_metadata,
     )
 
-    monkeypatch.setattr(AI, "INDEX_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setenv("CCN_CACHE_ROOT", str(tmp_path / "cache"))
     sf_dir = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
@@ -248,7 +284,18 @@ def test_composed_search_with_metadata_capstone(spark, tmp_path, monkeypatch):
     assert max(r["score"] for r in out) >= 0.99  # the query's own vector
 
     ix = AI.ensure_shared_index(spark, sf_dir)
-    aux = papq.read_table(f"{ix.path}/aux.parquet").to_pylist()[0]
+    aux_files = glob.glob(f"{ix.path}/aux-*.parquet")
+    assert len(aux_files) == 1
+    aux = papq.read_table(aux_files[0]).to_pylist()[0]
+    assert aux["n_probe"] == 6
+    assert aux["qv"] == [float(x) for x in qv]
     assert len(aux["lists"]) == 6
     assert len(aux["lut"]) == ix.meta["m"]
     assert all(len(row) == ix.meta["k_codes"] for row in aux["lut"])
+    # a different query writes a SIBLING aux, not a replacement (ADVICE r6)
+    qv2 = [float(x) for x in emb.orderBy(F.desc("vec_id")).first()["embedding"]]
+    search_composed_with_metadata(
+        spark, sf_dir, qv2, docs, id_col="doc_id", k=5, n_probe=6, shortlist=50
+    ).collect()
+    assert len(glob.glob(f"{ix.path}/aux-*.parquet")) == 2
+    assert papq.read_table(aux_files[0]).to_pylist()[0] == aux

@@ -44,12 +44,141 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- rows-only queries (non-SQL-expressible: Arrow UDF pipelines, ANN probe) ---
 
+N_FIXTURE_PAGES = 600
+
+
+def _guard_gazetteer_names(names: list[str]) -> None:
+    """Loud guard shared by every oracle that interpolates gazetteer names
+    into a regex alternation / SQL literal (the __spark_entry__ alphabet-
+    guard pattern): letters (incl. latin-1), digits, spaces, hyphens only —
+    all regex-literal in both engines, and lower() ≡ the X9 normalization
+    on this alphabet."""
+    import re as _re
+
+    for n in names:
+        if not _re.fullmatch(r"[A-Za-zÀ-ÿ0-9 \-]+", n):
+            raise ValueError(
+                f"gazetteer name {n!r} outside the regex-literal alphabet — "
+                "extend the oracle with RE2-safe escaping first"
+            )
+
+
+def _assert_extract_oracle_domain(pdf) -> None:
+    """Fail-loud domain guards that make the DuckDB replay of the
+    deterministic fallback extractor + Python quality metrics EXACT on this
+    fixture (VERDICT r6 #1: 'guard the oracle domain loudly'):
+
+    - the real trafilatura must be absent (the oracle replays the fallback);
+    - every html payload is strict UTF-8 (DuckDB decode() must not throw);
+    - Python str.strip() on paras/titles only ever removes ASCII spaces
+      (DuckDB trim strips spaces only);
+    - extracted text's whitespace alphabet is {space, newline} (Python
+      str.split() ≡ RE2 split on the explicit class — never bare \\s, which
+      diverges on U+000B);
+    - the sentence regex \\b[^.!?]+[.!?]* counts identically under Python's
+      unicode \\b and ASCII \\b (≡ RE2's \\b) on every text;
+    - urls parse with the simple scheme://host/ shape the SQL regex assumes.
+
+    fraction_non_alpha_words needs NO guard: Python str.isalpha is exactly
+    Unicode category L*, which RE2 matches as \\p{L}."""
+    import re as _re
+
+    from commoncrawlnewsdataset_spark.functions import extract as _EX
+    from commoncrawlnewsdataset_spark.functions.textmetrics import SENTENCE_PATTERN
+
+    if _EX.HAVE_TRAFILATURA:
+        raise ValueError(
+            "trafilatura is importable: extract_pipeline's oracle replays the "
+            "deterministic fallback extractor and must not certify the real "
+            "library — drop the oracle entry or pin the fallback explicitly"
+        )
+    ascii_sentences = _re.compile(r"\b[^.!?]+[.!?]*", _re.ASCII)
+    for url, html in zip(pdf["url"], pdf["html"]):
+        html.decode("utf-8")  # strict — mirrors DuckDB decode()
+        if not _re.match(r"^https?://[^/]+/", url):
+            raise ValueError(f"url {url!r} outside the scheme://host/ shape")
+        paras = []
+        for p_raw in _EX._P_RE.findall(html):
+            s = _EX._TAG_RE.sub(b"", p_raw).decode("utf-8", "replace")
+            if s.strip() != s.strip(" "):
+                raise ValueError("para strip() removes non-space whitespace")
+            if s.strip():
+                paras.append(s.strip())
+        m = _EX._TITLE_RE.search(html)
+        if m is not None:
+            ts = m.group(1).decode("utf-8", "replace")
+            if ts.strip() != ts.strip(" "):
+                raise ValueError("title strip() removes non-space whitespace")
+        text = "\n".join(paras)
+        ws = {c for c in text if c.isspace()}
+        if not ws <= {" ", "\n"}:
+            raise ValueError(f"text whitespace alphabet {ws!r} not replayable")
+        if len(SENTENCE_PATTERN.findall(text)) != len(ascii_sentences.findall(text)):
+            raise ValueError(
+                "sentence count differs between unicode and ASCII \\b on this "
+                "text — outside the proven oracle domain"
+            )
+
+
+def _ensure_pages_fixture() -> str:
+    """Deterministic synthetic-pages fixture parquet under the signature-
+    addressed shared cache — the SAME bytes feed the Spark query and the
+    DuckDB replay (the composed_ann_metadata technique applied to the E2E
+    spine's INPUT).  The entry name embeds a content hash of all rows, so
+    a synth.py change builds a new immutable entry and can never let the
+    oracle read stale pages.  Domain guards run on every call."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from commoncrawlnewsdataset_spark.cache import cache_root, ensure_cached_dir
+    from commoncrawlnewsdataset_spark.synth import make_pages_pdf
+
+    pdf = make_pages_pdf(N_FIXTURE_PAGES)
+    _assert_extract_oracle_domain(pdf)
+    h = hashlib.sha256()
+    for url, html in zip(pdf["url"], pdf["html"]):
+        h.update(url.encode())
+        h.update(b"\0")
+        h.update(html)
+        h.update(b"\0")
+    entry_name = f"pages-n{N_FIXTURE_PAGES}-{h.hexdigest()[:16]}"
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        tbl = pa.table(
+            {
+                "url": pa.array(list(pdf["url"]), type=pa.string()),
+                "html": pa.array(list(pdf["html"]), type=pa.binary()),
+            }
+        )
+        papq.write_table(tbl, os.path.join(tmp, "pages.parquet"))
+
+    path = ensure_cached_dir(os.path.join(cache_root(), "fixtures"), entry_name, _build)
+    return os.path.join(path, "pages.parquet")
+
+
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full UDF spine on synthetic pages (byte-identical text invariant is
-    pytest-checked; here the driver validates schema + row stability).
-    Array columns are flattened to '|'-joined strings so the driver's
-    canonicalizer (pandas sort) can hash the rows."""
-    out = entry(spark)
+    """The flagship E2E spine (reference 03→04→05→06: extract UDF →
+    quality-metrics UDF → F4 filter → NER enrichment) — VALUE-ORACLED as of
+    r7 (VERDICT r6 #1): pages come from the deterministic fixture parquet
+    (same bytes both engines), the deterministic fallback extractor + the
+    Python metrics are replayed in pure SQL on that guarded domain, and
+    array columns flatten to '|'-joined strings for the driver's
+    canonicalizer.  The byte-identical-text pytest invariant stays as the
+    general-domain contract."""
+    from commoncrawlnewsdataset_spark.functions.extract import extract_articles
+    from commoncrawlnewsdataset_spark.functions.textmetrics import with_quality_metrics
+    from commoncrawlnewsdataset_spark.ner import with_ner
+    from commoncrawlnewsdataset_spark.operators.filters import filter_quality
+
+    pages = spark.read.parquet(_ensure_pages_fixture())
+    articles = extract_articles(pages)
+    scored = with_quality_metrics(articles)
+    filtered = filter_quality(scored)
+    out = with_ner(filtered)
     return out.select(
         "url", "hostname", "title", "word_count", "sentences_count",
         F.concat_ws("|", "loc").alias("loc"),
@@ -57,14 +186,149 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the explicit Java-default whitespace class — NEVER bare \s in an
+# oracle-replayed pattern (RE2's \s omits U+000B; r6 finding)
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+
+
+def _oracle_extract_pipeline() -> str:
+    """DuckDB replay of the whole spine from the fixture parquet: fallback
+    extraction (<p> bodies, tag strip, title, hostname), F3 null-text drop,
+    D1 min-url dedup per (text, hostname), the 6 F4 metrics with Python
+    semantics (word split on the explicit whitespace class, \\p{L} ≡
+    str.isalpha, exact IEEE divisions), the F4 conjunctive gate, and the
+    gazetteer NER with longest-first alternation + lower() ≡ X9."""
+    from commoncrawlnewsdataset_spark.synth import CITY_GAZETTEER
+
+    names = [n for n, _, _ in CITY_GAZETTEER]
+    _guard_gazetteer_names(names)
+    pattern = "|".join(sorted(names, key=len, reverse=True))
+    path = _ensure_pages_fixture()
+    ws = _WS_CLASS
+    return rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS h FROM read_parquet('{path}')
+), ex AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS hostname,
+         trim(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1)) AS title,
+         list_filter(
+           list_transform(regexp_extract_all(h, '(?is)<p[^>]*>(.*?)</p>', 1),
+                          p -> trim(regexp_replace(p, '<[^>]+>', '', 'g'))),
+           p -> p <> '') AS paras
+  FROM pages
+), txt AS (
+  SELECT url, hostname, title, array_to_string(paras, chr(10)) AS t
+  FROM ex WHERE len(paras) > 0
+), ded AS (
+  SELECT url, hostname, title, t FROM (
+    SELECT *, row_number() OVER (PARTITION BY t, hostname ORDER BY url) AS rn
+    FROM txt
+  ) WHERE rn = 1
+), met AS (
+  SELECT url, hostname, title, t,
+         list_filter(regexp_split_to_array(t, '{ws}+'), w -> w <> '') AS words,
+         CAST(len(regexp_split_to_array(t, '\n')) AS BIGINT) AS n_lines,
+         CAST(len(regexp_extract_all(t, '\b[^.!?]+[.!?]*')) AS BIGINT) AS sentences_count,
+         CAST((length(lower(t)) - length(replace(lower(t), 'javascript', ''))) / 10 AS BIGINT) AS javascript_count,
+         CAST(length(regexp_replace(t, '{ws}+', '', 'g')) AS BIGINT) AS n_word_chars
+  FROM ded
+), m2 AS (
+  SELECT *, CAST(len(words) AS BIGINT) AS word_count,
+         CAST(len(list_filter(words, w -> NOT regexp_matches(w, '\p{{L}}'))) AS BIGINT) AS non_alpha
+  FROM met
+), m3 AS (
+  SELECT *,
+         CASE WHEN word_count > 0
+              THEN non_alpha / CAST(word_count AS DOUBLE) ELSE 0 END AS fraction_non_alpha_words,
+         CASE WHEN word_count > 0
+              THEN n_word_chars / CAST(word_count AS DOUBLE) ELSE 0 END AS mean_word_length,
+         word_count / CAST(n_lines AS DOUBLE) AS words_per_line
+  FROM m2
+), gated AS (
+  SELECT url, hostname, title, word_count, sentences_count, t FROM m3
+  WHERE javascript_count = 0 AND sentences_count >= 3
+    AND fraction_non_alpha_words < 0.1 AND words_per_line > 5
+    AND mean_word_length BETWEEN 3 AND 12
+    AND word_count BETWEEN 50 AND 10000
+)
+SELECT url, hostname, title, word_count, sentences_count,
+       coalesce(array_to_string(regexp_extract_all(t, '{pattern}'), '|'), '') AS loc,
+       CASE WHEN len(regexp_extract_all(t, '{pattern}')) > 0
+            THEN lower(regexp_extract_all(t, '{pattern}')[1]) ELSE '' END AS loc_normal
+FROM gated
+"""
+
+
 def q_quality_metrics_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 bit-exact metrics UDF over the documents table (the Python
-    str.isalpha semantics are not SQL-expressible; parity is pytest-checked
-    against the reference function)."""
+    """X5 bit-exact metrics UDF over the documents table — VALUE-ORACLED as
+    of r7 (VERDICT r6 #2) on an ASCII-ASSERTED domain: one distributed
+    aggregate proves every text stays inside the printable-ASCII + replay-
+    safe-whitespace alphabet (fail loud otherwise), where Python semantics
+    equal their RE2 replays exactly (str.isalpha ≡ \\p{L}; unicode \\b ≡
+    ASCII \\b; str.split ≡ the explicit whitespace class; '…'/bullet chars
+    cannot occur).  The UDF itself is unchanged — the pytest bit-exactness
+    suite against the reference function remains the UNICODE contract."""
     from commoncrawlnewsdataset_spark.functions.textmetrics import with_quality_metrics
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.filter(
+        F.col("text").rlike("[^\\x20-\\x7E\\t\\n\\x0B\\f\\r]")
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} documents contain characters outside the ASCII oracle "
+            "domain — quality_metrics_udf's replay is only proven there"
+        )
     return with_quality_metrics(docs.select("doc_id", "text")).drop("text")
+
+
+def _oracle_quality_metrics_udf() -> str:
+    """DuckDB replay of all 8 X5 metrics with Python semantics on the
+    ASCII-asserted domain (reference anchor
+    04_compute_quality_metrics.py:25-61): per-line ellipsis/bullet tests,
+    whole-text word split on the explicit whitespace class, \\p{L} for
+    str.isalpha, exact IEEE divisions with the reference's x/0 -> 0
+    guards."""
+    from commoncrawlnewsdataset_spark.functions.textmetrics import BULLET_POINTS
+
+    ws = _WS_CLASS
+    bullets = "".join(sorted(BULLET_POINTS))
+    return rf"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), met AS (
+  SELECT doc_id, t,
+         regexp_split_to_array(t, '\n') AS lines,
+         list_filter(regexp_split_to_array(t, '{ws}+'), w -> w <> '') AS words
+  FROM d
+), m2 AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(words) AS BIGINT) AS word_count,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[{bullets}]'))) AS BIGINT) AS bullet_point_starts,
+         CAST(len(list_filter(words, w -> NOT regexp_matches(w, '\p{{L}}'))) AS BIGINT) AS non_alpha,
+         CAST(length(regexp_replace(t, '{ws}+', '', 'g')) AS BIGINT) AS n_word_chars,
+         CAST(len(regexp_extract_all(t, '\b[^.!?]+[.!?]*')) AS BIGINT) AS sentences_count,
+         CAST((length(lower(t)) - length(replace(lower(t), 'javascript', ''))) / 10 AS BIGINT) AS javascript_count
+  FROM met
+)
+SELECT doc_id,
+       CASE WHEN n_lines > 0
+            THEN ellipsis_lines / CAST(n_lines AS DOUBLE) ELSE 0 END AS fraction_ellipsis,
+       CASE WHEN word_count > 0
+            THEN non_alpha / CAST(word_count AS DOUBLE) ELSE 0 END AS fraction_non_alpha_words,
+       CASE WHEN word_count > 0
+            THEN n_word_chars / CAST(word_count AS DOUBLE) ELSE 0 END AS mean_word_length,
+       javascript_count,
+       CASE WHEN n_lines > 0
+            THEN word_count / CAST(n_lines AS DOUBLE) ELSE 0 END AS words_per_line,
+       bullet_point_starts,
+       sentences_count,
+       word_count
+FROM m2
+"""
 
 
 LSH_ANN_PLANES = 8
@@ -535,25 +799,15 @@ def _oracle_ner_gazetteer() -> str:
     literal alternations), lower() for the X9 normalization (the gazetteer
     alphabet contains nothing X9 strips — RE2 lacks unicode \\w so the
     literal regex can't be replayed, but on this domain lower() IS X9)."""
-    import re as _re
-
     from commoncrawlnewsdataset_spark.synth import CITY_GAZETTEER
 
     names = [n for n, _, _ in CITY_GAZETTEER]
     # Guard the alternation AND the SQL literal (ADVICE r5): the Spark
     # matcher re.escape()s names, but this replay interpolates them raw —
-    # a future gazetteer entry containing '.', '(' or an apostrophe would
-    # silently diverge the oracle (or break the VALUES clause).  Cross-
-    # engine escape rules differ (RE2 rejects '\\ ' that Python/Java
+    # cross-engine escape rules differ (RE2 rejects '\\ ' that Python/Java
     # accept), so instead of escaping, fail loud outside the known-literal
-    # alphabet: letters (incl. latin-1), digits, spaces, hyphens — all
-    # regex-literal in an alternation in both engines.
-    for n in names:
-        if not _re.fullmatch(r"[A-Za-zÀ-ÿ0-9 \-]+", n):
-            raise ValueError(
-                f"gazetteer name {n!r} outside the regex-literal alphabet — "
-                "extend _oracle_ner_gazetteer with RE2-safe escaping first"
-            )
+    # alphabet (shared _guard_gazetteer_names).
+    _guard_gazetteer_names(names)
     vals = ", ".join(f"({i}, '{n}')" for i, n in enumerate(names))
     pattern = "|".join(sorted(names, key=len, reverse=True))
     return f"""
@@ -664,25 +918,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Queries whose IMPLEMENTATION was reworked in the current round — update
-# per round.  r6: the pair generators' bounded-buffer rework
-# (rank-before-collect / counts-first, operators/dedup.py).
+# per round.  r7: the signature-addressed shared-cache rework (ANN index +
+# aux naming), the rows-only -> value-oracle upgrades, and the cached
+# capstone state.
 CHANGED_THIS_ROUND = {
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "jaccard_pairs",
-    "cosine_dup_pairs_lsh",
-    "cosine_dup_pairs",
-    "pack_chunks",
-    "corpus_mixture",
-    # capstone now runs bucketed checkpoints + a mid-run compaction, so its
-    # wave-2 URL-seen gate takes the production split path (VERDICT r5 #4)
-    "crawl_corpus_pipeline",
-    # r6 review fixes: token_estimate whitespace class (both engines),
-    # mixture-oracle zero-size stratum guard, ANN shared-cache rework
-    "corpus_mixture_tokens",
-    "pack_chunks_tokens",
+    # ANN cache rework: immutable per-signature entries, query-scoped aux
     "composed_ann_metadata",
     "composed_ann_topk",
+    # rows-only -> full value oracle upgrades (VERDICT r6 #1/#2/#4)
+    "extract_pipeline",
+    "quality_metrics_udf",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
 }
 
 
@@ -720,4 +967,6 @@ def oracle_sql() -> dict[str, str]:
     out["heavy_hitters"] = ORACLE_HEAVY_HITTERS
     out["ivf_ann_topk"] = _oracle_ivf_ann_topk()
     out["lsh_ann_topk"] = _oracle_lsh_ann_topk()
+    out["extract_pipeline"] = _oracle_extract_pipeline()
+    out["quality_metrics_udf"] = _oracle_quality_metrics_udf()
     return out

@@ -395,17 +395,77 @@ ORDER BY score DESC, vec_id LIMIT 20
 """
 
 
+MULTI_LSH_TABLES = 8
+
+
 def q_multi_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH ANN (recall amplification: T independent tables,
     union of Hamming balls, exact rerank — the usable LSH operating point,
-    recall >= 0.9 pinned by test_multi_table_lsh_recall_floor; recall < 1
-    by design so no SQL oracle)."""
+    recall >= 0.9 pinned by test_multi_table_lsh_recall_floor).
+    VALUE-ORACLED as of r7: all T plane tables are deterministic constants
+    (seed + 101*t), so DuckDB reproduces every per-table bucket
+    bit-for-bit, ORs the same T Hamming-ball predicates, and rescores the
+    identical candidate union."""
     from commoncrawlnewsdataset_spark.operators.similarity import lsh_multi_table_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.orderBy("vec_id").select("embedding").first()
     qv = [float(x) for x in row["embedding"]]
-    return lsh_multi_table_topk(emb, qv, k=20, n_tables=8, probe_hamming=2)
+    return lsh_multi_table_topk(
+        emb, qv, k=20, n_tables=MULTI_LSH_TABLES, probe_hamming=LSH_ANN_HAMMING
+    )
+
+
+def _oracle_multi_lsh_ann_topk() -> str:
+    """DuckDB replay of q_multi_lsh_ann_topk — the _oracle_lsh_ann_topk
+    technique per table (inlined plane constants, same left-to-right fold
+    order), with the candidate predicate the same OR over T Hamming-ball
+    tests the Spark plan applies in one scan."""
+    from commoncrawlnewsdataset_spark.operators.similarity import hyperplanes
+
+    def bucket_expr(var: str, planes) -> str:
+        bits = []
+        for j, p in enumerate(planes):
+            dotsum = " + ".join(f"{var}[{i + 1}]*({c!r})" for i, c in enumerate(p))
+            bits.append(f"(CASE WHEN ({dotsum}) > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(bits)
+
+    tables = [
+        hyperplanes(LSH_ANN_DIM, LSH_ANN_PLANES, seed=13 + 101 * t)
+        for t in range(MULTI_LSH_TABLES)
+    ]
+    q_buckets = ", ".join(
+        f"{bucket_expr('v', p)} AS qb{t}" for t, p in enumerate(tables)
+    )
+    d_buckets = ", ".join(
+        f"{bucket_expr('v', p)} AS blk{t}" for t, p in enumerate(tables)
+    )
+    ball = " OR ".join(
+        f"bit_count(xor(CAST(b.blk{t} AS BIGINT), CAST(q.qb{t} AS BIGINT))) "
+        f"<= {LSH_ANN_HAMMING}"
+        for t in range(MULTI_LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT v AS qv, {q_buckets} FROM e ORDER BY vec_id LIMIT 1
+), b AS (
+  SELECT vec_id, v, {d_buckets} FROM e
+), probed AS (
+  SELECT b.vec_id, b.v FROM b, q WHERE {ball}
+)
+SELECT p.vec_id,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.v)), i -> p.v[i] * q.qv[i])), (a,x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(p.v, x -> x * x)), (a,x) -> a + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(q.qv, x -> x * x)), (a,x) -> a + x))), 4) AS score
+FROM probed p CROSS JOIN q
+ORDER BY score DESC, vec_id LIMIT 20
+"""
 
 
 IVF_ANN_N_PROBE = 2
@@ -930,6 +990,9 @@ CHANGED_THIS_ROUND = {
     "quality_metrics_udf",
     "ivf_ann_topk",
     "lsh_ann_topk",
+    # capstone hygiene rework (per-user run dirs, immediate catalog drops)
+    # + compact() idempotence/layout-conversion staging
+    "crawl_corpus_pipeline",
 }
 
 
@@ -967,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
     out["heavy_hitters"] = ORACLE_HEAVY_HITTERS
     out["ivf_ann_topk"] = _oracle_ivf_ann_topk()
     out["lsh_ann_topk"] = _oracle_lsh_ann_topk()
+    out["multi_lsh_ann_topk"] = _oracle_multi_lsh_ann_topk()
     out["extract_pipeline"] = _oracle_extract_pipeline()
     out["quality_metrics_udf"] = _oracle_quality_metrics_udf()
     return out

@@ -140,11 +140,19 @@ def _maintain(args) -> None:
     from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
     from commoncrawlnewsdataset_spark.session import get_spark
 
+    # Default: MATCH the layout the state dir already has (ADVICE r6) —
+    # read the latest checkpoint's bucket_meta.json; plain if absent.  A
+    # maintain pass must never silently convert a deliberately-plain dir
+    # to bucketed (or vice versa); conversion requires an explicit
+    # --bucket-state N / --bucket-state 0.
+    bucket_state = args.bucket_state
+    if bucket_state is None:
+        probe = WaveRunner(None, args.state)
+        ckpts = probe.committed_checkpoints()
+        bucket_state = (probe._ckpt_bucket_count(ckpts[-1]) or 0) if ckpts else 0
+
     spark = get_spark("ccnews-maintain")
-    # same default as `crawl` (r6 review): a maintain pass over a bucketed
-    # state dir must not silently rewrite the checkpoint plain and drop the
-    # persisted bloom the crawl's compactions established
-    runner = WaveRunner(spark, args.state, bucket_state=args.bucket_state or None)
+    runner = WaveRunner(spark, args.state, bucket_state=bucket_state or None)
     last = runner.last_wave()
     if last < 0:
         print(json.dumps({"error": "no committed waves in state dir"}))
@@ -194,8 +202,11 @@ def main(argv: list[str] | None = None) -> None:
                         "(0 = never; keeps snapshot reads O(delta) and "
                         "engages the bucketed Exchange-free gate)")
     c.add_argument("--no-expire", action="store_true",
-                   help="keep delta files a checkpoint already covers "
-                        "(default: expire them after each compaction)")
+                   help="keep delta files a checkpoint already covers.  "
+                        "BREAKING CHANGE (r6): crawl now expires covered "
+                        "deltas by default — the on-disk log is no longer "
+                        "append-only unless this flag is passed; time "
+                        "travel below the newest checkpoint needs it")
     c.set_defaults(fn=_crawl)
 
     pl = sub.add_parser("pipeline")
@@ -215,9 +226,12 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--state", required=True)
     m.add_argument("--expire", action="store_true",
                    help="also drop raw deltas covered by the checkpoint")
-    m.add_argument("--bucket-state", type=int, default=64,
-                   help="bucket count for the rewritten checkpoint (same "
-                        "default as crawl; pass 0 for a plain rewrite)")
+    m.add_argument("--bucket-state", type=int, default=None,
+                   help="bucket count for the rewritten checkpoint.  "
+                        "Default: match the state dir's existing layout "
+                        "(latest checkpoint's bucket_meta.json; plain if "
+                        "none) — converting a layout requires passing this "
+                        "explicitly (N to bucket, 0 for plain)")
     m.set_defaults(fn=_maintain)
 
     pr = sub.add_parser("progress")

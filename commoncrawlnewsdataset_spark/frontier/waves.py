@@ -219,6 +219,19 @@ class WaveRunner:
     # and resume are unaffected (the catalog entry is re-registered on
     # demand after a restart).
     bucket_state: int | None = None
+    # VERDICT r6 #3 — wave-selection pruning: at each compaction, persist a
+    # per-host candidate HEAD (the top head_factor×budget pending rows by
+    # the total order) next to the checkpoint.  Wave selection then ranks
+    # O(active-hosts × head) candidate rows (head ∪ post-compaction deltas)
+    # instead of re-scanning and re-ranking the FULL pending set — the
+    # dominant O(pending) term at 10^10 urls.  Selection falls back to the
+    # full scan whenever the head cannot PROVE equivalence (a truncated
+    # host with fewer un-superseded head survivors than its budget, a
+    # reprioritize touching everything, adaptive budgets).  Semantics are
+    # provably identical when the head is used: surviving un-superseded
+    # head rows keep their compaction-time total order, which dominates
+    # every non-candidate row (property-tested head-vs-full).  0 disables.
+    head_factor: int = 8
 
     # ---- snapshot log -----------------------------------------------------
 
@@ -483,10 +496,26 @@ class WaveRunner:
         """Materialize the resolved state through `upto_wave` (default: last
         committed) as a checkpoint.  Iceberg analog: snapshot expiration +
         rewrite_data_files, except nothing is deleted here — the checkpoint
-        is a read optimization, raw deltas remain the source of truth."""
+        is a read optimization, raw deltas remain the source of truth.
+
+        Re-compacting a wave that is ALREADY checkpointed is (a) a no-op
+        when the target layout matches (the resolved state at a fixed wave
+        is a pure function — cron-style `maintain` stays cheap), and (b) a
+        layout CONVERSION otherwise, staged through a sibling dir and
+        swapped in — never an in-place overwrite of the parquet the
+        conversion job is reading (r7 fix: plain->bucketed maintain used to
+        FAILED_READ_FILE on its own source)."""
+        import shutil
+
         upto = self.last_wave() if upto_wave is None else upto_wave
         out = self._checkpoint_dir(upto)
         state_path = os.path.join(out, "state.parquet")
+        rewrite_in_place = upto in self.committed_checkpoints()
+        old_buckets = self._ckpt_bucket_count(upto) if rewrite_in_place else None
+        if rewrite_in_place:
+            if (old_buckets or 0) == (self.bucket_state or 0):
+                return upto  # identical content + layout: idempotent no-op
+        target = state_path + ".rewrite" if rewrite_in_place else state_path
         snap = self.state(upto_wave=upto)
         if self.bucket_state:
             # bucketed+sorted on url (VERDICT r4 #4): the shuffle is paid
@@ -500,23 +529,84 @@ class WaveRunner:
                 .format("parquet")
                 .bucketBy(self.bucket_state, "url")
                 .sortBy("url")
-                .option("path", state_path)
+                .option("path", target)
                 .saveAsTable(tbl)
             )
+        else:
+            snap.write.mode("overwrite").parquet(target)
+        if rewrite_in_place:
+            shutil.rmtree(state_path)
+            os.rename(target, state_path)
+            bm = os.path.join(out, "bucket_meta.json")
+            if os.path.exists(bm):
+                os.remove(bm)
+            if self.bucket_state:
+                # the catalog entry points at the staging path — drop it;
+                # _read_checkpoint re-registers against the final path
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS "
+                    f"{self._ckpt_table_name(upto, self.bucket_state)}"
+                )
+            if old_buckets:
+                # the superseded layout's entry now describes a bucket
+                # distribution the rewritten files no longer have
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS "
+                    f"{self._ckpt_table_name(upto, old_buckets)}"
+                )
+        if self.bucket_state:
             # record the layout the FILES have — reads must never assume
             # the current config matches (r5 review finding)
             with open(os.path.join(out, "bucket_meta.json"), "w") as f:
                 json.dump({"n_buckets": self.bucket_state}, f)
             if self.use_bloom:
                 self._write_ckpt_bloom(upto, state_path)
+            if self.head_factor:
+                self._write_ckpt_head(upto, state_path)
             # metadata hygiene: older checkpoints' catalog entries are now
             # superseded (their files stay on disk per the wave-log protocol)
             self._drop_stale_ckpt_tables(upto)
-        else:
-            snap.write.mode("overwrite").parquet(state_path)
         with open(os.path.join(out, "_COMMITTED"), "w") as f:
             f.write(str(upto))
         return upto
+
+    def _write_ckpt_head(self, upto: int, state_path: str) -> None:
+        """Persist the per-host candidate head next to the checkpoint
+        (VERDICT r6 #3): the exact top-``head_factor × per_host_budget``
+        pending rows per host by the selection total order (the same salted
+        two-phase rank the wave uses), plus per-host pending totals so
+        selection can detect truncation.  One politeness-rank-shaped job
+        over the pending set — O(pending), paid at compaction cadence, so
+        the PER-WAVE selection no longer is."""
+        out = self._checkpoint_dir(upto)
+        snap = self.spark.read.parquet(state_path)
+        pending = snap.filter(F.col("status") == "pending")
+        H = int(self.head_factor) * int(self.per_host_budget)
+        pending.groupBy("host").agg(
+            F.count("*").alias("n_pending")
+        ).write.mode("overwrite").parquet(os.path.join(out, "head_counts.parquet"))
+        politeness_rank(pending, H, self.nsalt).drop("rank").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "head.parquet"))
+        with open(os.path.join(out, "head_meta.json"), "w") as f:
+            json.dump({"H": H, "base_wave": upto}, f)
+
+    def _read_head(self, upto: int | None):
+        """(head_df, counts_df, meta) for a committed checkpoint's persisted
+        candidate head, or None when absent/disabled."""
+        if upto is None or not self.head_factor:
+            return None
+        out = self._checkpoint_dir(upto)
+        meta_path = os.path.join(out, "head_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return (
+            self.spark.read.parquet(os.path.join(out, "head.parquet")),
+            self.spark.read.parquet(os.path.join(out, "head_counts.parquet")),
+            meta,
+        )
 
     def _write_ckpt_bloom(self, upto: int, state_path: str) -> None:
         """Persist the seen-set bloom shards next to the checkpoint, sized
@@ -700,6 +790,93 @@ class WaveRunner:
             unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
         return politeness_rank(unseen, self.per_host_budget, self.nsalt, host_budgets)
 
+    def _select_wave_head(self, head, parts) -> DataFrame | None:
+        """Candidate-head wave selection (VERDICT r6 #3): rank only
+        head ∪ post-compaction deltas instead of the full pending set.
+
+        Returns None (caller falls back to the full scan) unless every
+        truncated host PROVABLY selects identically: a host whose pending
+        set was cut at H needs >= budget un-superseded head rows surviving
+        the gates — those rows keep their compaction-time total order,
+        which dominates every pending row the head excluded (the excluded
+        rows are unchanged since compaction, or their change rides in the
+        deltas and therefore IS a candidate).  Hosts first seen after
+        compaction and un-truncated hosts are complete in the candidate
+        set by construction.  Not offered when adaptive_budgets is on (its
+        inputs live outside the candidate set)."""
+        from commoncrawlnewsdataset_spark.frontier.core import filter_unseen_split
+
+        head_df, counts, meta = head
+        ckpt_df, deltas, ckpt_wave = parts
+        H = int(meta["H"])
+        if H < 2 * self.per_host_budget:
+            return None  # a head this shallow drains immediately; not worth it
+        head_tag = head_df.withColumn("_h", F.lit(True))
+        if deltas is not None:
+            cand = head_tag.join(
+                F.broadcast(deltas.select("url")), "url", "left_anti"
+            ).unionByName(
+                deltas.select(*head_df.columns).withColumn("_h", F.lit(False))
+            )
+        else:
+            cand = head_tag
+        pending = cand.filter(F.col("status") == "pending")
+        host_budgets = None
+        if self.use_robots and self.robots_rules is not None:
+            pending = gate_by_robots(pending, self.robots_rules)
+            if self.wave_seconds is not None:
+                from commoncrawlnewsdataset_spark.frontier.robots import (
+                    host_crawl_delays,
+                )
+
+                host_budgets = host_crawl_delays(self.robots_rules).select(
+                    "host",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(F.lit(self.wave_seconds) / F.col("crawl_delay_s")),
+                    ).cast("int").alias("budget"),
+                )
+        big_seen = ckpt_df.filter(F.col("status") == "fetched").select("url")
+        small_seen = (
+            deltas.filter(F.col("status") == "fetched").select("url")
+            if deltas is not None
+            else None
+        )
+        bloom = self._ckpt_bloom(ckpt_wave)
+        unseen = filter_unseen_split(
+            pending,
+            big_seen,
+            small_seen,
+            use_bloom=self.use_bloom,
+            num_shards=bloom[1]["num_shards"] if bloom else 16,
+            big_shards=bloom[0] if bloom else None,
+            m_bits_per_shard=bloom[1]["m_bits_per_shard"] if bloom else None,
+        ).cache()
+        # validity: every TRUNCATED host must still hold >= budget gated,
+        # un-superseded head survivors (their compaction order dominates
+        # all excluded rows, so the true top-budget is inside the
+        # candidate set)
+        truncated = counts.filter(F.col("n_pending") > H).select("host")
+        surv = (
+            unseen.filter(F.col("_h"))
+            .groupBy("host")
+            .agg(F.count("*").alias("_n_surv"))
+        )
+        check = truncated.join(surv, "host", "left")
+        if host_budgets is not None:
+            check = check.join(F.broadcast(host_budgets), "host", "left")
+            need = F.coalesce(F.col("budget"), F.lit(self.per_host_budget))
+        else:
+            need = F.lit(self.per_host_budget)
+        invalid = check.filter(F.coalesce(F.col("_n_surv"), F.lit(0)) < need)
+        if not invalid.isEmpty():
+            unseen.unpersist()
+            return None
+        self._head_unseen_cache = unseen  # run_wave unpersists post-fetch
+        return politeness_rank(
+            unseen.drop("_h"), self.per_host_budget, self.nsalt, host_budgets
+        )
+
     def _fetch(self, selected: DataFrame) -> DataFrame:
         """Fetch stage: frontier columns pass straight THROUGH the Arrow UDF,
         so outcomes need no join back to the selection (one shuffle fewer;
@@ -791,15 +968,29 @@ class WaveRunner:
         # additionally caches because the gates reference it ~3x per wave —
         # r5 review finding)
         parts = self._snapshot_parts() if self.bucket_state else None
+        state = None
+        selected = None
+        head_used = False
+        self._head_unseen_cache = None
         if parts is not None:
             ckpt_df, deltas, ckpt_wave = parts
             if deltas is not None:
                 deltas = deltas.cache()
                 parts = (ckpt_df, deltas, ckpt_wave)
-            state = self._compose_state(ckpt_df, deltas).cache()
+            if ckpt_df is not None and not self.adaptive_budgets:
+                head = self._read_head(ckpt_wave)
+                if head is not None:
+                    # candidate-head selection (VERDICT r6 #3): rank only
+                    # head ∪ deltas; the FULL pending set is neither
+                    # resolved nor scanned this wave unless validity fails
+                    selected = self._select_wave_head(head, parts)
+                    head_used = selected is not None
+            if selected is None:
+                state = self._compose_state(ckpt_df, deltas).cache()
         else:
             state = self.state().cache()
-        selected = self.select_wave(state, parts)
+        if selected is None:
+            selected = self.select_wave(state, parts)
 
         results = self._fetch(selected)
         if self.page_sink_dir is not None:
@@ -827,14 +1018,19 @@ class WaveRunner:
             .collect()
         )
         t_fetched = time.time()
+        if self._head_unseen_cache is not None:
+            self._head_unseen_cache.unpersist()
+            self._head_unseen_cache = None
         n_selected = sum(r["rows"] for r in lineage)
         if n_selected == 0:
             manifest = {"wave": wave, "n_selected": 0, "done": True,
+                        "head_used": head_used,
                         "elapsed_s": time.time() - t0}
             self._write_delta(outcome.coalesce(1), wave)
             self._commit(wave, manifest)
             outcome.unpersist()
-            state.unpersist()
+            if state is not None:
+                state.unpersist()
             if parts is not None and parts[1] is not None:
                 parts[1].unpersist()
             return manifest
@@ -932,6 +1128,7 @@ class WaveRunner:
             "n_fetched": status_counts.get("fetched", 0),
             "n_failed": status_counts.get("failed", 0),
             "n_discovered": n_discovered,
+            "head_used": head_used,
             "per_partition_rows": [
                 {"partition": p, "rows": n} for p, n in sorted(part_rows.items())
             ],
@@ -941,7 +1138,8 @@ class WaveRunner:
             "done": False,
         }
         self._commit(wave, manifest)
-        state.unpersist()
+        if state is not None:
+            state.unpersist()
         if parts is not None and parts[1] is not None:
             parts[1].unpersist()
         outcome.unpersist()

@@ -2144,6 +2144,40 @@ def md5_fetch(url: str, max_retries: int = 5) -> tuple[bool, int, int]:
     return True, 1, 1000 + h % 50_000
 
 
+def _ephemeral_run_dir(*subdirs: str) -> tuple[str, ...]:
+    """Per-user run-scoped scratch dirs for queries that drive a WaveRunner
+    (ADVICE r6 hygiene, shared by frontier_waves / crawl_order / the
+    capstone): created under the uid-scoped cache root, removed at
+    interpreter exit (the returned plans only read parquet that is
+    materialized before exit), with a 6h age sweep for leftovers from
+    crashed sessions."""
+    import atexit
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from commoncrawlnewsdataset_spark.cache import cache_root
+
+    base = os.path.join(cache_root(), "runs")
+    os.makedirs(base, exist_ok=True)
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        try:
+            if _time.time() - os.path.getmtime(p) > 6 * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    run_dir = os.path.join(base, f"run-{uuid.uuid4().hex[:12]}")
+    out = []
+    for s in subdirs:
+        p = os.path.join(run_dir, s)
+        os.makedirs(p)
+        out.append(p)
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return tuple(out)
+
+
 def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two REAL crawl waves — the full WaveRunner machinery: politeness
     window, URL-seen gate, link discovery, per-wave snapshot commit + resume
@@ -2154,8 +2188,6 @@ def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(host,status) url counts and attempt sums.  A green row certifies
     the wave loop end-to-end (north_rule crawl-order contract: priority
     DESC, discovered_ts, url)."""
-    import tempfile
-
     from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
 
     seeds = _seed_frontier(spark, sf_dir).select(
@@ -2171,7 +2203,7 @@ def q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("discovered_ts"),
         )
 
-    state_dir = tempfile.mkdtemp(prefix="frontier-oracle-")
+    (state_dir,) = _ephemeral_run_dir("frontier-oracle")
     runner = WaveRunner(
         spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
         use_robots=False, fetcher=md5_fetch, link_expander=expander,
@@ -2198,8 +2230,6 @@ def q_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered_ts, url).  The oracle replays both politeness selections in
     SQL, so a green row certifies the total crawl order itself, not just the
     final fetched set."""
-    import tempfile
-
     from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
 
     seeds = _seed_frontier(spark, sf_dir).select(
@@ -2207,7 +2237,7 @@ def q_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"),
     )
-    state_dir = tempfile.mkdtemp(prefix="crawl-order-")
+    (state_dir,) = _ephemeral_run_dir("crawl-order")
     runner = WaveRunner(
         spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
         use_robots=False, fetcher=md5_fetch, detailed_metrics=False,
@@ -2844,21 +2874,27 @@ def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing).  Every value in the output — which urls got fetched, the
     extracted text, the dedup survivor, the token intervals — is replayed
     in pure SQL by the oracle, so a green row certifies the crawl->corpus
-    JUNCTION end-to-end, not just each stage in isolation."""
-    import tempfile
+    JUNCTION end-to-end, not just each stage in isolation.
 
+    Hygiene (ADVICE r6): run dirs live under the per-user cache root and
+    are removed at interpreter exit (the lazy plan reads only the page
+    parquet, which is materialized by then); leftovers from crashed
+    sessions are age-swept on the next invocation; and the checkpoint's
+    catalog tables are dropped as soon as the eager crawl finishes — the
+    returned plan never touches them, so long selfcheck sessions
+    accumulate zero external tables."""
     from commoncrawlnewsdataset_spark.frontier.waves import WaveRunner
     from commoncrawlnewsdataset_spark.functions.extract import extract_articles
     from commoncrawlnewsdataset_spark.functions.quality import token_count_ws
     from commoncrawlnewsdataset_spark.operators.packing import pack_chunks
+
+    state_dir, pages_dir = _ephemeral_run_dir("state", "pages")
 
     seeds = _seed_frontier(spark, sf_dir).select(
         "url",
         "priority",
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"),
     )
-    state_dir = tempfile.mkdtemp(prefix="crawl-corpus-state-")
-    pages_dir = tempfile.mkdtemp(prefix="crawl-corpus-pages-")
     runner = WaveRunner(
         spark, state_dir, per_host_budget=WAVE_BUDGET, nsalt=4,
         use_robots=False, fetcher=md5_fetch_with_payload,
@@ -2874,6 +2910,9 @@ def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the replayed values don't change
     runner.compact()
     runner.run_wave()
+    # the crawl is done and the plan below reads only the page sink —
+    # drop every catalog table this run's checkpoints registered
+    runner._drop_stale_ckpt_tables(1 << 30)
     arts = extract_articles(runner.pages())
     gated = arts.filter(token_count_ws(F.col("text")).between(50, 10000))
     packed = pack_chunks(gated, CRAWL_CORPUS_CHUNK, id_col="url", text_col="text")

@@ -150,8 +150,9 @@ def main() -> None:
             "(<= ~1.2 means per-wave cost does NOT grow with the accumulated "
             "wave log — the O(delta) snapshot read + compaction cadence holds; "
             "ratios well below 1 additionally reflect the draining pending "
-            "set, since wave SELECTION is inherently O(pending): the "
-            "politeness queue ranks every pending url per host).\n\n"
+            "set.  With head_factor=0 — or before the first compaction — "
+            "wave SELECTION is the full O(pending) rank; with the candidate "
+            "head it is O(head ∪ delta) per wave, see BENCH/HEAD.md).\n\n"
             "| wave | selected | wall (s) | plan (s) | fetch+metrics (s) | write (s) | shuffle write (MB) | compaction |\n"
             "|---|---|---|---|---|---|---|---|\n"
         )

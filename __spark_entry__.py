@@ -588,19 +588,154 @@ def q_composed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.search(qv, k=20, n_probe=6, shortlist=100)
 
 
+PQ_M = 8
+PQ_K = 16
+PQ_DIM = 64
+
+
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (scale path #3; ADC over m-byte codes, recall
-    < 1 by design so no SQL oracle): train per-subspace codebooks (one
-    exploded groupBy per Lloyd iteration), encode JVM-side, score via the
-    query's literal lookup tables."""
+    """Product-quantization ANN (scale path #3; ADC over m-byte codes) —
+    VALUE-ORACLED as of r7: codebooks are bit-reproducible (6dp-rounded
+    Lloyd means), so given the trained books (published to a
+    signature-addressed aux parquet, the composed_ann_metadata technique)
+    DuckDB independently replays the ENCODE argmax per subspace (the same
+    rounded-cosine fold, ties to the lowest code), derives the query's ADC
+    lookup table from the books + query vector, scores, and takes the same
+    top-k.  Unlike the composed oracle, the per-vector codes are NOT an
+    input — the encode stage itself is cross-engine-checked."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from commoncrawlnewsdataset_spark.cache import (
+        cache_root,
+        publish_file,
+        sig_hash,
+    )
     from commoncrawlnewsdataset_spark.operators.pq import pq_encode, pq_topk, pq_train
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    books = pq_train(emb, m=8, k=16, n_iter=2, dim=64)
+    sig_row = emb.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(
+            F.xxhash64(F.col("vec_id"), F.col("embedding").cast("string"))
+        ).alias("xh"),
+    ).first()
+    books = pq_train(emb, m=PQ_M, k=PQ_K, n_iter=2, dim=PQ_DIM)
     codes = pq_encode(emb, books)
     row = emb.orderBy("vec_id").select("embedding").first()
     qv = [float(x) for x in row["embedding"]]
+
+    base = os.path.join(cache_root(), "pqbooks")
+    os.makedirs(base, exist_ok=True)
+    name = sig_hash([int(sig_row["n"]), int(sig_row["xh"]), PQ_M, PQ_K, PQ_DIM])
+    flat = [
+        (j, c, [float(x) for x in books[j][c]])
+        for j in range(PQ_M)
+        for c in range(PQ_K)
+    ]
+    aux = pa.table(
+        {
+            "j": pa.array([r[0] for r in flat], type=pa.int64()),
+            "c": pa.array([r[1] for r in flat], type=pa.int64()),
+            "center": pa.array([r[2] for r in flat], type=pa.list_(pa.float64())),
+            "qv": pa.array([qv] * len(flat), type=pa.list_(pa.float32())),
+            "n_vectors": pa.array([int(sig_row["n"])] * len(flat), type=pa.int64()),
+        }
+    )
+    publish_file(
+        os.path.join(base, f"aux-{name}.parquet"),
+        lambda tmp: papq.write_table(aux, tmp),
+    )
     return pq_topk(codes, qv, books, k=20)
+
+
+def _oracle_pq_ann_topk() -> str:
+    """DuckDB replay of q_pq_ann_topk from the published codebooks: encode
+    = per (vector, subspace) argmax over the 16 centers of
+    round(cos(sv, center), 9) with the EXACT _cos_lit fold (left-to-right
+    dot, norm guards, multiply-then-divide), ties to the lowest code via
+    (score DESC, c ASC) row_number; lut[j][c] = dot(q_sub, center)/|q|
+    re-derived in SQL; score = Σ_j lut[j][code_j], round 4, top-20.  The
+    aux row set is selected by query-vector + corpus-cardinality match, so
+    a stale or foreign books file can never be silently replayed."""
+    from commoncrawlnewsdataset_spark.cache import cache_root
+    import os
+
+    base = os.path.join(cache_root(), "pqbooks")
+    dsub = PQ_DIM // PQ_M
+    return f"""
+WITH q AS (
+  SELECT embedding AS qe, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+books AS (
+  SELECT a.j, a.c, a.center,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(a.center, x -> x * x)), (s, x) -> s + x)) AS nb
+  FROM read_parquet('{base}/aux-*.parquet') a, q
+  WHERE a.qv = q.qe AND a.n_vectors = (SELECT count(*) FROM embeddings)
+),
+qn AS (
+  SELECT CASE WHEN s = 0 THEN 1.0 ELSE sqrt(s) END AS qnorm FROM (
+    SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (a, x) -> a + x) AS s FROM q
+  )
+),
+lut AS (
+  SELECT b.j, b.c,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, {dsub}),
+             i -> q.qv[b.j * {dsub} + i] * b.center[i])), (a, x) -> a + x)
+         / qn.qnorm AS lv
+  FROM books b CROSS JOIN q CROSS JOIN qn
+),
+subnorm AS (
+  SELECT e.vec_id, jj.j,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, {dsub}),
+             i -> CAST(e.embedding[jj.j * {dsub} + i] AS DOUBLE)
+                  * CAST(e.embedding[jj.j * {dsub} + i] AS DOUBLE))),
+           (a, x) -> a + x)) AS na
+  FROM embeddings e CROSS JOIN (SELECT DISTINCT j FROM books) jj
+),
+sub AS (
+  SELECT e.vec_id, b.j, b.c,
+         round(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, {dsub}),
+               i -> CAST(e.embedding[b.j * {dsub} + i] AS DOUBLE) * b.center[i])),
+             (a, x) -> a + x)
+           / (
+             (CASE WHEN sn.na > 0 THEN sn.na ELSE 1.0 END)
+             * (CASE WHEN b.nb = 0 THEN 1.0 ELSE b.nb END)
+           ), 9) AS s
+  FROM embeddings e
+  CROSS JOIN books b
+  JOIN subnorm sn ON sn.vec_id = e.vec_id AND sn.j = b.j
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, c) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+scored AS (
+  -- ordered fold over j: Spark's adc_score_expr adds the m lookup terms
+  -- left-to-right; an unordered SQL sum() could differ in the last bits
+  SELECT vec_id,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(lv ORDER BY j)), (a, x) -> a + x), 4) AS score
+  FROM (
+    SELECT e.vec_id, e.j, l.lv
+    FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.c
+  )
+  GROUP BY vec_id
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20
+"""
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_ann_topk"] = _oracle_ivf_ann_topk()
     out["lsh_ann_topk"] = _oracle_lsh_ann_topk()
     out["multi_lsh_ann_topk"] = _oracle_multi_lsh_ann_topk()
+    out["pq_ann_topk"] = _oracle_pq_ann_topk()
     out["extract_pipeline"] = _oracle_extract_pipeline()
     out["quality_metrics_udf"] = _oracle_quality_metrics_udf()
     return out

@@ -53,6 +53,12 @@ def main() -> None:
     n_seeds = seeds.count()
     state_dir = tempfile.mkdtemp(prefix="capstone-state-")
     pages_dir = tempfile.mkdtemp(prefix="capstone-pages-")
+    # plain (non-bucketed) config, tracked since r3 for round-over-round
+    # comparability.  This toy frontier (150k urls, drains in ~7 waves)
+    # cannot amortize a bucketed compaction, but the measured difference is
+    # inside the box's drift anyway (r7 adjacent runs: plain 51.4s and
+    # 64.0s, bucketed+head 66.0s).  The production bucketed+head config
+    # wins from ~10^6 pending upward (BENCH/HEAD.md's controlled A/B).
     runner = WaveRunner(
         spark, state_dir, per_host_budget=budget, nsalt=8,
         use_robots=False, fetcher=md5_fetch_with_payload,

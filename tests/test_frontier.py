@@ -1445,3 +1445,81 @@ def test_head_selection_equals_full_scan(spark, tmp_path):
         full.crawl_order().select(*oc).orderBy("seq").collect()
         == head.crawl_order().select(*oc).orderBy("seq").collect()
     )
+
+
+def test_head_selection_with_robots_budgets_equals_full(spark, tmp_path):
+    """Head selection under per-host crawl-delay budgets (robots +
+    wave_seconds): validity must compare survivors against each host's
+    OVERRIDE budget, not the default — equality holds wave-for-wave, and a
+    host whose override exceeds its surviving head forces the proven
+    fallback."""
+    import pandas as pd
+
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # h0: 1s delay -> budget floor(10/1)=10 (override > default 3!)
+                {"host": "h0.example.org", "path_prefix": "/private/",
+                 "allowed": False, "crawl_delay_s": 1.0},
+                # h1: 5s delay -> budget 2 (stricter than default)
+                {"host": "h1.example.org", "path_prefix": "/private/",
+                 "allowed": False, "crawl_delay_s": 5.0},
+            ]
+        )
+    )
+    urls = [f"https://h{i % 3}.example.org/p/{i:03d}" for i in range(90)]
+    runners = []
+    for name, hf in (("full", 0), ("head", 4)):
+        r = WaveRunner(
+            spark, str(tmp_path / name), per_host_budget=3, nsalt=2,
+            use_robots=True, robots_rules=robots, wave_seconds=10.0,
+            fetcher=simulated_fetch, bucket_state=4, head_factor=hf,
+        )
+        r.load_seeds(_parity_seeds(spark, urls))
+        runners.append(r)
+    full, head = runners
+
+    for fn, args in (("run_wave", ()), ("compact", ()), ("run_wave", ()),
+                     ("run_wave", ()), ("run_wave", ())):
+        for r in (full, head):
+            getattr(r, fn)(*args)
+
+    cols = ["wave", "url", "status", "attempts"]
+    assert sorted(map(tuple, full.state().select(*cols).collect())) == sorted(
+        map(tuple, head.state().select(*cols).collect())
+    )
+    used = [head.read_manifest(w).get("head_used") for w in head.committed_waves()]
+    assert any(used), "head never engaged under robots budgets"
+
+
+def test_compact_idempotent_and_head_files_written(spark, tmp_path):
+    """compact() at an already-checkpointed wave with the same layout is a
+    no-op (state.parquet untouched); the bucketed checkpoint carries
+    head.parquet + head_counts.parquet + head_meta.json sized
+    head_factor*budget."""
+    import json as js
+    import os
+
+    r = WaveRunner(
+        spark, str(tmp_path / "st"), per_host_budget=3, nsalt=2,
+        use_robots=False, fetcher=simulated_fetch, bucket_state=4,
+        head_factor=4,
+    )
+    urls = [f"https://h{i % 2}.example.org/p/{i:03d}" for i in range(60)]
+    r.load_seeds(_parity_seeds(spark, urls))
+    r.run_wave()
+    upto = r.compact()
+    ck = r._checkpoint_dir(upto)
+    with open(os.path.join(ck, "head_meta.json")) as f:
+        meta = js.load(f)
+    assert meta["H"] == 12 and meta["base_wave"] == upto
+    head = spark.read.parquet(os.path.join(ck, "head.parquet"))
+    per_host = {x["host"]: x["n"] for x in
+                head.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 12 for n in per_host.values()) and per_host
+    counts = spark.read.parquet(os.path.join(ck, "head_counts.parquet"))
+    assert {c for c in counts.columns} == {"host", "n_pending"}
+
+    mtime = os.path.getmtime(os.path.join(ck, "state.parquet", "_SUCCESS"))
+    assert r.compact(upto) == upto  # same wave, same layout -> no-op
+    assert os.path.getmtime(os.path.join(ck, "state.parquet", "_SUCCESS")) == mtime

@@ -565,18 +565,30 @@ ORDER BY score DESC, vec_id LIMIT 20
 
 
 def q_composed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed ANN (VERDICT r4 #6; approximate family, rows-only like its
-    siblings): operators.ann_index.AnnIndex — IVF partition pruning x
-    OPQ/ADC coarse scan x exact top-C rescore behind ONE build/load/search
-    object, searched here through a save/load round trip.  Recall floor
-    >= 0.9 pinned by tests/test_semantic_search.py; the recall/cost curve
-    is BENCH/ANN.md's `composed` rows (0.963 at probe=12/16, C=400 on the
-    sf0.1 table — residual loss is IVF pruning; the m=16 ADC shortlist is
-    lossless there)."""
+    """Composed ANN (VERDICT r4 #6): operators.ann_index.AnnIndex — IVF
+    partition pruning x OPQ/ADC coarse scan x exact top-C rescore behind
+    ONE build/load/search object, searched here through a save/load round
+    trip.  VALUE-ORACLED as of r7: the search is fully deterministic given
+    the index's own parquet, so the composed_ann_metadata replay (minus
+    the metadata join) re-derives the same top-k — the query-scoped aux
+    (probed lists + ADC LUT) is written here exactly as
+    search_composed_with_metadata writes it, selected by (qv, n_probe)
+    identity.  Recall floor >= 0.9 vs brute force stays pinned by
+    tests/test_semantic_search.py; BENCH/ANN.md has the recall/cost
+    curve."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from commoncrawlnewsdataset_spark.cache import publish_file, sig_hash
     from commoncrawlnewsdataset_spark.operators.ann_index import (
         AnnIndex,
         ensure_shared_index,
     )
+    from commoncrawlnewsdataset_spark.operators.pq import adc_lut
+    from commoncrawlnewsdataset_spark.operators.similarity import nearest_lists
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # shared per-dataset cache with a source signature — no tempdir leaked
@@ -585,7 +597,84 @@ def q_composed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = AnnIndex.load(spark, ix.path)
     row = emb.orderBy("vec_id").select("embedding").first()
     qv = [float(x) for x in row["embedding"]]
-    return ix.search(qv, k=20, n_probe=6, shortlist=100)
+    n_probe = 6
+    probe = nearest_lists(qv, ix.meta["centroids"], n_probe)
+    qr = list(np.asarray(ix.meta["rotation"]) @ np.asarray(qv, dtype=float))
+    lut = adc_lut(qr, ix.meta["codebooks"])
+    aux = pa.table(
+        {
+            "qv": pa.array([qv], type=pa.list_(pa.float32())),
+            "n_probe": pa.array([n_probe], type=pa.int64()),
+            "lists": pa.array([[int(x) for x in probe]], type=pa.list_(pa.int64())),
+            "lut": pa.array([lut], type=pa.list_(pa.list_(pa.float64()))),
+        }
+    )
+    qh = sig_hash([qv, n_probe])
+    publish_file(
+        os.path.join(ix.path, f"aux-{qh}.parquet"),
+        lambda tmp: papq.write_table(aux, tmp),
+    )
+    return ix.search(qv, k=20, n_probe=n_probe, shortlist=100)
+
+
+def _oracle_composed_ann_topk() -> str:
+    """The composed_ann_metadata replay minus the metadata join, with k=20:
+    entry content-matched to the embeddings view, aux selected by
+    (qv, n_probe) identity, ADC shortlist + exact rescore from the index's
+    own parquet."""
+    from commoncrawlnewsdataset_spark.operators.ann_index import index_cache_root
+
+    root = index_cache_root()
+    return f"""
+WITH sel AS (
+  SELECT min(sfkey) AS sk FROM (
+    SELECT r.sfkey
+    FROM read_parquet('{root}/*/rows/*/*.parquet', hive_partitioning=true) r
+    LEFT JOIN embeddings e ON e.vec_id = r.vec_id AND e.embedding = r.embedding
+    GROUP BY r.sfkey
+    HAVING count(*) = (SELECT count(*) FROM embeddings)
+       AND count(e.vec_id) = count(*)
+  )
+),
+aux AS (
+  SELECT a.lists, a.lut
+  FROM read_parquet('{root}/*/aux-*.parquet', hive_partitioning=true) a
+  WHERE a.sfkey = (SELECT sk FROM sel)
+    AND a.n_probe = 6
+    AND a.qv = (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+),
+probed AS (
+  SELECT r.vec_id, r.codes, r.embedding
+  FROM read_parquet('{root}/*/rows/*/*.parquet', hive_partitioning=true) r, aux a
+  WHERE r.sfkey = (SELECT sk FROM sel)
+    AND list_contains(a.lists, CAST(r."list" AS BIGINT))
+),
+adc AS (
+  SELECT p.vec_id, p.embedding,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.codes)),
+                              j -> a.lut[j][p.codes[j] + 1])),
+               (x, y) -> x + y), 4) AS _adc
+  FROM probed p, aux a
+),
+short AS (
+  SELECT vec_id, embedding FROM adc ORDER BY _adc DESC, vec_id LIMIT 100
+),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 1
+)
+SELECT s.vec_id,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(s.embedding)),
+                              i -> CAST(s.embedding[i] AS DOUBLE) * q.qv[i])), (a,x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,x) -> a + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(q.qv, x -> x * x)), (a,x) -> a + x))), 4) AS score
+FROM short s CROSS JOIN q
+ORDER BY score DESC, vec_id LIMIT 20
+"""
 
 
 PQ_M = 8
@@ -1167,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
     out["lsh_ann_topk"] = _oracle_lsh_ann_topk()
     out["multi_lsh_ann_topk"] = _oracle_multi_lsh_ann_topk()
     out["pq_ann_topk"] = _oracle_pq_ann_topk()
+    out["composed_ann_topk"] = _oracle_composed_ann_topk()
     out["extract_pipeline"] = _oracle_extract_pipeline()
     out["quality_metrics_udf"] = _oracle_quality_metrics_udf()
     return out

@@ -1214,6 +1214,8 @@ CHANGED_THIS_ROUND = {
     "quality_metrics_udf",
     "ivf_ann_topk",
     "lsh_ann_topk",
+    "multi_lsh_ann_topk",
+    "pq_ann_topk",
     # capstone hygiene rework (per-user run dirs, immediate catalog drops)
     # + compact() idempotence/layout-conversion staging
     "crawl_corpus_pipeline",

@@ -105,10 +105,13 @@ def _assert_extract_oracle_domain(pdf) -> None:
             if s.strip():
                 paras.append(s.strip())
         m = _EX._TITLE_RE.search(html)
-        if m is not None:
-            ts = m.group(1).decode("utf-8", "replace")
-            if ts.strip() != ts.strip(" "):
-                raise ValueError("title strip() removes non-space whitespace")
+        if m is None:
+            # Python yields title=None where the SQL replay yields '' —
+            # outside the proven domain, fail loud instead of hash-red
+            raise ValueError(f"page {url!r} has no <title> — oracle domain requires one")
+        ts = m.group(1).decode("utf-8", "replace")
+        if ts.strip() != ts.strip(" "):
+            raise ValueError("title strip() removes non-space whitespace")
         text = "\n".join(paras)
         ws = {c for c in text if c.isspace()}
         if not ws <= {" ", "\n"}:

@@ -41,7 +41,7 @@ def test_extract_oracle_guard_rejects_exotic_whitespace():
 
     pdf = pd.DataFrame(
         [{"url": "https://h.example.org/a",
-          "html": "<html><p>word\x0bword more words here.</p></html>".encode()}]
+          "html": "<html><title>t</title><p>word\x0bword more words here.</p></html>".encode()}]
     )
     with pytest.raises(ValueError, match="whitespace"):
         E._assert_extract_oracle_domain(pdf)
@@ -57,7 +57,7 @@ def test_extract_oracle_guard_rejects_unicode_boundary_divergence():
     # word char at all (0 sentences) -> findall counts diverge.
     pdf = pd.DataFrame(
         [{"url": "https://h.example.org/a",
-          "html": "<html><p>Ä.</p></html>".encode()}]
+          "html": "<html><title>t</title><p>Ä.</p></html>".encode()}]
     )
     with pytest.raises(ValueError, match="sentence"):
         E._assert_extract_oracle_domain(pdf)

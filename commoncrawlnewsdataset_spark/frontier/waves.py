@@ -715,7 +715,7 @@ class WaveRunner:
 
     # ---- one wave ----------------------------------------------------------
 
-    def select_wave(self, state: DataFrame, parts=None) -> DataFrame:
+    def select_wave(self, state: DataFrame, parts=None, only_hosts=None) -> DataFrame:
         """Politeness-budgeted, robots-gated, dedup-guarded wave selection.
 
         No global ordering here: a total wave_seq would be a single-partition
@@ -725,8 +725,16 @@ class WaveRunner:
         ``parts`` (from _snapshot_parts) switches the URL-seen gate to the
         SPLIT form in bucket_state mode: checkpoint side joined as a
         bucketed scan with zero Exchange, delta side broadcast, bloom built
-        incrementally from the persisted checkpoint shards."""
+        incrementally from the persisted checkpoint shards.
+
+        ``only_hosts`` (a small (host) DataFrame) restricts selection to
+        those hosts — the partial-fallback leg of the candidate-head path.
+        Per-host independence of the politeness rank (Window.partitionBy
+        host) makes the restricted selection EXACTLY the full selection's
+        rows for those hosts."""
         pending = state.filter(F.col("status") == "pending")
+        if only_hosts is not None:
+            pending = pending.join(F.broadcast(only_hosts), "host", "semi")
         host_budgets = None
         if self.use_robots and self.robots_rules is not None:
             pending = gate_by_robots(pending, self.robots_rules)
@@ -790,27 +798,45 @@ class WaveRunner:
             unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
         return politeness_rank(unseen, self.per_host_budget, self.nsalt, host_budgets)
 
-    def _select_wave_head(self, head, parts) -> DataFrame | None:
+    # partial-fallback bounds: more invalid hosts than BOTH of these and
+    # the whole wave takes the full path (the invalid-host list must stay
+    # broadcastable and the candidate leg must still be the common case)
+    HEAD_PARTIAL_MAX_HOSTS = 100_000
+    HEAD_PARTIAL_MAX_FRACTION = 0.10
+
+    def _select_wave_head(self, head, parts):
         """Candidate-head wave selection (VERDICT r6 #3): rank only
         head ∪ post-compaction deltas instead of the full pending set.
 
-        Returns None (caller falls back to the full scan) unless every
-        truncated host PROVABLY selects identically: a host whose pending
-        set was cut at H needs >= budget un-superseded head rows surviving
-        the gates — those rows keep their compaction-time total order,
-        which dominates every pending row the head excluded (the excluded
-        rows are unchanged since compaction, or their change rides in the
-        deltas and therefore IS a candidate).  Hosts first seen after
-        compaction and un-truncated hosts are complete in the candidate
-        set by construction.  Not offered when adaptive_budgets is on (its
-        inputs live outside the candidate set)."""
+        Returns ``(selected, invalid_hosts)``:
+
+        - ``(df, None)`` — every truncated host PROVABLY selects
+          identically from the candidates: a host whose pending set was
+          cut at H needs >= budget un-superseded head rows surviving the
+          gates — those rows keep their compaction-time total order, which
+          dominates every pending row the head excluded (the excluded rows
+          are unchanged since compaction, or their change rides in the
+          deltas and therefore IS a candidate).  Hosts first seen after
+          compaction and un-truncated hosts are complete in the candidate
+          set by construction.
+        - ``(df, invalid_df)`` — PARTIAL (r7.2): ``df`` covers the valid
+          hosts from candidates; the caller runs the full-scan selection
+          restricted to ``invalid_df``'s hosts and unions.  Per-host rank
+          independence makes the union exactly the full selection, so one
+          drained host no longer forces the O(pending) rank SHUFFLE for
+          every host (the full leg still scans pending once, but its
+          shuffle carries only the invalid hosts' rows).
+        - ``(None, None)`` — head not usable (too shallow, adaptive
+          budgets, or invalid hosts beyond the partial bounds — e.g. a
+          reprioritize superseding everything): full path.
+        """
         from commoncrawlnewsdataset_spark.frontier.core import filter_unseen_split
 
         head_df, counts, meta = head
         ckpt_df, deltas, ckpt_wave = parts
         H = int(meta["H"])
         if H < 2 * self.per_host_budget:
-            return None  # a head this shallow drains immediately; not worth it
+            return None, None  # a head this shallow drains immediately
         head_tag = head_df.withColumn("_h", F.lit(True))
         if deltas is not None:
             cand = head_tag.join(
@@ -868,13 +894,34 @@ class WaveRunner:
             need = F.coalesce(F.col("budget"), F.lit(self.per_host_budget))
         else:
             need = F.lit(self.per_host_budget)
-        invalid = check.filter(F.coalesce(F.col("_n_surv"), F.lit(0)) < need)
-        if not invalid.isEmpty():
-            unseen.unpersist()
-            return None
+        invalid = check.filter(
+            F.coalesce(F.col("_n_surv"), F.lit(0)) < need
+        ).select("host")
+        invalid_hosts = [r["host"] for r in invalid.limit(
+            self.HEAD_PARTIAL_MAX_HOSTS + 1
+        ).collect()]
+        if invalid_hosts:
+            n_hosts = counts.count()
+            if (
+                len(invalid_hosts) > self.HEAD_PARTIAL_MAX_HOSTS
+                or len(invalid_hosts) > self.HEAD_PARTIAL_MAX_FRACTION * max(1, n_hosts)
+            ):
+                unseen.unpersist()
+                return None, None  # beyond the partial bounds: full path
+            invalid_df = self.spark.createDataFrame(
+                [(h,) for h in invalid_hosts], "host string"
+            )
+            cand_pending = unseen.join(F.broadcast(invalid_df), "host", "left_anti")
+        else:
+            invalid_df = None
+            cand_pending = unseen
         self._head_unseen_cache = unseen  # run_wave unpersists post-fetch
-        return politeness_rank(
-            unseen.drop("_h"), self.per_host_budget, self.nsalt, host_budgets
+        return (
+            politeness_rank(
+                cand_pending.drop("_h"), self.per_host_budget, self.nsalt,
+                host_budgets,
+            ),
+            invalid_df,
         )
 
     def _fetch(self, selected: DataFrame) -> DataFrame:
@@ -983,8 +1030,17 @@ class WaveRunner:
                     # candidate-head selection (VERDICT r6 #3): rank only
                     # head ∪ deltas; the FULL pending set is neither
                     # resolved nor scanned this wave unless validity fails
-                    selected = self._select_wave_head(head, parts)
+                    selected, _invalid = self._select_wave_head(head, parts)
                     head_used = selected is not None
+                    if selected is not None and _invalid is not None:
+                        # partial fallback (r7.2): full-scan selection for
+                        # the drained hosts only; per-host rank
+                        # independence makes the union exact
+                        head_used = "partial"
+                        state = self._compose_state(ckpt_df, deltas).cache()
+                        selected = selected.unionByName(
+                            self.select_wave(state, parts, only_hosts=_invalid)
+                        )
             if selected is None:
                 state = self._compose_state(ckpt_df, deltas).cache()
         else:

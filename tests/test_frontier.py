@@ -1523,3 +1523,31 @@ def test_compact_idempotent_and_head_files_written(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(ck, "state.parquet", "_SUCCESS"))
     assert r.compact(upto) == upto  # same wave, same layout -> no-op
     assert os.path.getmtime(os.path.join(ck, "state.parquet", "_SUCCESS")) == mtime
+
+
+def test_head_partial_fallback_single_drained_host(spark, tmp_path):
+    """r7.2: ONE truncated host draining its head triggers the PARTIAL
+    path — candidate selection for the 29 valid hosts plus a full-scan leg
+    restricted to the drained host — and the union equals the full-path
+    twin exactly.  (With <=10 hosts any invalid host exceeds the 10%%
+    partial bound, so this needs a wide host set.)"""
+    # h0: 60 urls (truncated at H=6); h1..h29: 4 urls each (complete heads)
+    urls = [f"https://h0.example.org/p/{i:03d}" for i in range(60)] + [
+        f"https://h{1 + i % 29}.example.org/p/{i:03d}" for i in range(29 * 4)
+    ]
+    full, head = _head_twin_runners(spark, tmp_path, head_factor=2, urls=urls)
+    for r in (full, head):
+        r.run_wave()
+        r.compact()
+        r.run_wave()   # h0 head: 6 -> 3 survivors >= budget 3 -> pure head
+        r.run_wave()   # h0 survivors 0 < 3 -> PARTIAL (1/30 hosts invalid)
+        r.run_wave()
+
+    cols = ["wave", "url", "status", "attempts"]
+    assert sorted(map(tuple, full.state().select(*cols).collect())) == sorted(
+        map(tuple, head.state().select(*cols).collect())
+    )
+    modes = [head.read_manifest(w).get("head_used")
+             for w in head.committed_waves() if w >= 2]
+    assert True in modes, f"pure-head wave missing: {modes}"
+    assert "partial" in modes, f"partial wave missing: {modes}"

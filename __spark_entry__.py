@@ -275,15 +275,28 @@ def q_quality_metrics_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commoncrawlnewsdataset_spark.functions.textmetrics import with_quality_metrics
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bad = docs.filter(
-        F.col("text").rlike("[^\\x20-\\x7E\\t\\n\\x0B\\f\\r]")
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} documents contain characters outside the ASCII oracle "
-            "domain — quality_metrics_udf's replay is only proven there"
-        )
-    return with_quality_metrics(docs.select("doc_id", "text")).drop("text")
+    # Fail-loud ASCII-domain guard, folded INTO the lazy plan (r8): the
+    # former eager `.count()` pre-scan cost one full extra job per
+    # invocation; raise_error on any offending row keeps the exact same
+    # guarantee — the query can never RETURN rows from outside the proven
+    # replay domain — while the guard predicate rides the same scan as the
+    # UDF.  (Executed output on the valid domain is byte-identical.)
+    guarded = F.when(
+        F.col("text").rlike("[^\\x20-\\x7E\\t\\n\\x0B\\f\\r]"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "document outside the ASCII oracle domain (doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    ") — quality_metrics_udf's replay is only proven there"
+                ),
+            )
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.select("doc_id", guarded.alias("text"))
+    return with_quality_metrics(docs).drop("text")
 
 
 def _oracle_quality_metrics_udf() -> str:

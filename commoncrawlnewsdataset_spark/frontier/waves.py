@@ -219,6 +219,16 @@ class WaveRunner:
     # and resume are unaffected (the catalog entry is re-registered on
     # demand after a restart).
     bucket_state: int | None = None
+    # VERDICT r7 #1 — size gate for the post-compaction delta broadcast
+    # hints (_compose_state url anti-join; head-path delta anti-join): the
+    # hint is applied only while the manifest-derived upper bound on delta
+    # rows stays at or below this.  Above it (a stretched compact_every, a
+    # link-discovery burst) the hint is DROPPED and AQE picks the join —
+    # degrading to a shuffle join instead of failing on an oversized
+    # broadcast.  4M url rows ≈ low-hundreds-MB broadcast (the 300M-soak
+    # operating point, proven safe); the bound costs no job — it is summed
+    # from the per-wave manifests at snapshot-read time.
+    broadcast_delta_max: int = 4_000_000
     # VERDICT r6 #3 — wave-selection pruning: at each compaction, persist a
     # per-host candidate HEAD (the top head_factor×budget pending rows by
     # the total order) next to the checkpoint.  Wave selection then ranks
@@ -310,13 +320,52 @@ class WaveRunner:
             return ckpt_df
         # A wave's delta is bounded by the politeness budget + link fan-out —
         # orders of magnitude smaller than a 10^10-url frontier — so the url
-        # set broadcasts and the checkpoint side stays Exchange-free.  If a
-        # delta ever outgrew broadcast, drop the hint and AQE falls back to a
-        # shuffled anti-join (still O(frontier) I/O but only one shuffle).
+        # set broadcasts and the checkpoint side stays Exchange-free.  The
+        # hint is SIZE-GATED (VERDICT r7 #1): _snapshot_parts records a
+        # manifest-derived upper bound on delta rows; past
+        # broadcast_delta_max (or when no bound is provable, e.g. a fork
+        # delta) the hint is dropped and AQE chooses — a stretched
+        # compact_every or link burst degrades to a shuffled anti-join
+        # instead of an oversized-broadcast failure.
         untouched = ckpt_df.join(
-            F.broadcast(resolved_deltas.select("url")), "url", "left_anti"
+            self._maybe_broadcast(resolved_deltas.select("url")), "url", "left_anti"
         )
         return untouched.unionByName(resolved_deltas.select(*untouched.columns))
+
+    def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
+        """Apply the broadcast hint iff the newest snapshot read proved the
+        post-checkpoint delta row bound ≤ broadcast_delta_max."""
+        bound = getattr(self, "_last_delta_bound", None)
+        if bound is not None and bound <= self.broadcast_delta_max:
+            return F.broadcast(df)
+        return df
+
+    def _delta_rows_bound(self, waves: list[int]) -> int | None:
+        """Upper bound on resolved-delta rows computed from manifests ALONE
+        (no Spark job): a crawl wave's delta holds n_selected outcomes +
+        n_discovered fresh urls; maintenance waves record seeded /
+        requeued / reprioritized exactly.  Returns None (no provable
+        bound) for fork deltas — a fork's wave-0 delta is the full
+        resolved source state and its manifest records no row count."""
+        total = 0
+        for w in waves:
+            try:
+                m = self.read_manifest(w)
+            except OSError:
+                return None
+            if "forked_from" in m:
+                return None
+            n = None
+            for k in ("seeded", "requeued", "reprioritized"):
+                if k in m:
+                    n = m[k]
+                    break
+            if n is None and "n_selected" in m:
+                n = m.get("n_selected", 0) + m.get("n_discovered", 0)
+            if n is None:
+                return None
+            total += int(n)
+        return total
 
     def _snapshot_parts(
         self, upto_wave: int | None = None
@@ -337,16 +386,31 @@ class WaveRunner:
             ckpt_df = self._read_checkpoint(ckpt)
             waves = [w for w in waves if w > ckpt]
         delta_paths = [os.path.join(self._wave_dir(w), "delta.parquet") for w in waves]
+        # manifest-derived delta row bound for the broadcast gate
+        # (_maybe_broadcast); None = no provable bound -> no hint
+        self._last_delta_bound = self._delta_rows_bound(waves) if waves else 0
 
         resolved_deltas = None
         if delta_paths:
             deltas = self.spark.read.parquet(*delta_paths)
-            w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
-            resolved_deltas = (
-                deltas.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            if len(delta_paths) == 1:
+                # r8 fast path: EVERY delta is unique-per-url by
+                # construction (load_seeds dedups; fork writes resolved
+                # state; run_wave writes outcome ⊎ unseen-gated distinct
+                # discoveries; requeue/reprioritize project the resolved
+                # state) — so with exactly one delta the latest-record
+                # window is the identity and its full-delta shuffle is
+                # pure cost.  This makes the common first-wave-after-
+                # seed/compaction snapshot read shuffle-free.
+                # (test_snapshot_single_delta_no_window pins equivalence.)
+                resolved_deltas = deltas
+            else:
+                w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("status"))
+                resolved_deltas = (
+                    deltas.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
         return ckpt_df, resolved_deltas, ckpt
 
     def _ckpt_table_name(self, upto: int, n_buckets: int) -> str:
@@ -371,6 +435,26 @@ class WaveRunner:
         with open(meta_path) as f:
             return int(json.load(f)["n_buckets"])
 
+    def _recover_checkpoint_swap(self, upto: int) -> None:
+        """Recover a checkpoint whose in-place layout conversion crashed
+        mid-swap (ADVICE r7): if state.parquet is missing but the staged
+        `.old` copy survives, rename it back; a surviving `.rewrite` next
+        to an intact state.parquet is an incomplete conversion and is
+        discarded.  Idempotent; no-op on healthy checkpoints."""
+        import shutil
+
+        out = self._checkpoint_dir(upto)
+        state_path = os.path.join(out, "state.parquet")
+        old_path = state_path + ".old"
+        if not os.path.isdir(state_path) and os.path.isdir(old_path):
+            os.rename(old_path, state_path)
+        if os.path.isdir(state_path):
+            if os.path.isdir(old_path):
+                shutil.rmtree(old_path)  # swap completed; cleanup died
+            rw = state_path + ".rewrite"
+            if os.path.isdir(rw):
+                shutil.rmtree(rw)  # conversion never reached the swap
+
     def _read_checkpoint(self, upto: int) -> DataFrame:
         """Checkpoint scan: plain parquet normally; in bucket_state mode the
         catalog table (re-registered after a restart via CREATE TABLE ...
@@ -380,6 +464,7 @@ class WaveRunner:
         registration always uses the count stored at write time; a plain
         checkpoint (e.g. bucket_state enabled over an old state dir) reads
         as plain parquet until the next compact() rewrites it bucketed."""
+        self._recover_checkpoint_swap(upto)
         path = os.path.join(self._checkpoint_dir(upto), "state.parquet")
         n_buckets = self._ckpt_bucket_count(upto) if self.bucket_state else None
         if not n_buckets:
@@ -535,8 +620,18 @@ class WaveRunner:
         else:
             snap.write.mode("overwrite").parquet(target)
         if rewrite_in_place:
-            shutil.rmtree(state_path)
+            # Crash-safe swap (ADVICE r7): the old layout is RENAMED aside
+            # before the new one moves in, so no instant exists at which a
+            # _COMMITTED checkpoint has no state.parquet — a crash between
+            # the two renames leaves `.old` (recovered by
+            # _recover_checkpoint_swap on the next read) instead of
+            # unrecoverable loss once covered deltas were expired.
+            old_path = state_path + ".old"
+            if os.path.isdir(old_path):
+                shutil.rmtree(old_path)
+            os.rename(state_path, old_path)
             os.rename(target, state_path)
+            shutil.rmtree(old_path)
             bm = os.path.join(out, "bucket_meta.json")
             if os.path.exists(bm):
                 os.remove(bm)
@@ -715,7 +810,10 @@ class WaveRunner:
 
     # ---- one wave ----------------------------------------------------------
 
-    def select_wave(self, state: DataFrame, parts=None, only_hosts=None) -> DataFrame:
+    def select_wave(
+        self, state: DataFrame, parts=None, only_hosts=None,
+        assume_no_fetched: bool = False,
+    ) -> DataFrame:
         """Politeness-budgeted, robots-gated, dedup-guarded wave selection.
 
         No global ordering here: a total wave_seq would be a single-partition
@@ -731,7 +829,14 @@ class WaveRunner:
         those hosts — the partial-fallback leg of the candidate-head path.
         Per-host independence of the politeness rank (Window.partitionBy
         host) makes the restricted selection EXACTLY the full selection's
-        rows for those hosts."""
+        rows for those hosts.
+
+        ``assume_no_fetched`` (r8): the caller PROVED from wave metadata
+        that the state holds no fetched rows (the only committed wave is a
+        load_seeds wave, whose rows are all status=pending) — the URL-seen
+        gate is the identity on such a state, so skip it, including its
+        emptiness-probe job.  filter_unseen(pending, ∅) ≡ pending, so the
+        selection is provably unchanged."""
         pending = state.filter(F.col("status") == "pending")
         if only_hosts is not None:
             pending = pending.join(F.broadcast(only_hosts), "host", "semi")
@@ -793,6 +898,8 @@ class WaveRunner:
                 big_shards=bloom[0] if bloom else None,
                 m_bits_per_shard=bloom[1]["m_bits_per_shard"] if bloom else None,
             )
+        elif assume_no_fetched:
+            unseen = pending
         else:
             fetched = state.filter(F.col("status") == "fetched").select("url")
             unseen = filter_unseen(pending, fetched, use_bloom=self.use_bloom)
@@ -839,8 +946,10 @@ class WaveRunner:
             return None, None  # a head this shallow drains immediately
         head_tag = head_df.withColumn("_h", F.lit(True))
         if deltas is not None:
+            # same size gate as _compose_state (VERDICT r7 #1): past the
+            # bound the hint drops and AQE chooses the join
             cand = head_tag.join(
-                F.broadcast(deltas.select("url")), "url", "left_anti"
+                self._maybe_broadcast(deltas.select("url")), "url", "left_anti"
             ).unionByName(
                 deltas.select(*head_df.columns).withColumn("_h", F.lit(False))
             )
@@ -1046,7 +1155,21 @@ class WaveRunner:
         else:
             state = self.state().cache()
         if selected is None:
-            selected = self.select_wave(state, parts)
+            # r8: on the first wave after a seed load (the only committed
+            # wave is a load_seeds wave), every row is status=pending by
+            # construction — the URL-seen gate is the identity and its
+            # emptiness-probe job is pure cost.  PROVEN from the wave-0
+            # manifest ("seeded" is written only by load_seeds; fork
+            # manifests, which can carry fetched rows, say "forked_from").
+            seed_only = False
+            if parts is None:
+                waves = self.committed_waves()
+                if waves == [0]:
+                    try:
+                        seed_only = "seeded" in self.read_manifest(0)
+                    except OSError:
+                        seed_only = False
+            selected = self.select_wave(state, parts, assume_no_fetched=seed_only)
 
         results = self._fetch(selected)
         if self.page_sink_dir is not None:

@@ -152,24 +152,45 @@ def sql_bullet_point_starts(text: Column) -> Column:
 
 
 def with_sql_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-pass formulation (r8, guide §1.2 'per-task work'): the two
+    expensive array pipelines — the whitespace word split and the line split
+    — are materialized ONCE in a lower Project and every metric derives from
+    the array columns.  The naive withColumn chain inlined the full
+    split+filter tree into each consumer (word_count / words_per_line /
+    mean_word_length re-evaluated the word split 4x; the line split 3x);
+    higher-order functions are CodegenFallback, so codegen subexpression
+    elimination never deduplicated them.  CollapseProject keeps the split
+    in its own Project because duplicating non-cheap expressions is guarded
+    (SPARK-36718).  Expressions are semantically identical, so outputs are
+    bit-for-bit unchanged (DuckDB oracle unchanged)."""
     t = F.col(text_col)
-    wc = sql_word_count(t)
-    nl = sql_line_count(t)
-    return (
-        df.withColumn("word_count", wc)
-        .withColumn("sentences_count", sql_sentences_count(t))
-        .withColumn("javascript_count", sql_javascript_count(t))
-        .withColumn("words_per_line", (wc / nl).cast("double"))
-        .withColumn(
-            "mean_word_length",
-            F.when(
+    staged = df.withColumns(
+        {
+            "_words": F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != ""),
+            "_lines": F.split(t, "\n"),
+        }
+    )
+    wc = F.size("_words").cast("long")
+    nl = F.size("_lines")
+    out = staged.withColumns(
+        {
+            "word_count": wc,
+            "sentences_count": sql_sentences_count(t),
+            "javascript_count": sql_javascript_count(t),
+            "words_per_line": (wc / nl).cast("double"),
+            "mean_word_length": F.when(
                 wc > 0,
                 (F.length(F.regexp_replace(t, r"\s+", "")) / wc).cast("double"),
             ).otherwise(F.lit(0.0)),
-        )
-        .withColumn("fraction_ellipsis", sql_fraction_ellipsis(t))
-        .withColumn("bullet_point_starts", sql_bullet_point_starts(t))
+            "fraction_ellipsis": (
+                F.size(F.filter("_lines", lambda l: l.rlike(r"(\.\.\.|…)$"))) / nl
+            ).cast("double"),
+            "bullet_point_starts": F.size(
+                F.filter("_lines", lambda l: l.rlike(BULLET_CLASS))
+            ).cast("long"),
+        }
     )
+    return out.drop("_words", "_lines")
 
 
 # ---------------------------------------------------------------------------

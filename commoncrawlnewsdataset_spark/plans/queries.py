@@ -1113,14 +1113,37 @@ FROM h
 # =========================================================================
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Deterministic query vector: the embedding of the min vec_id row."""
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .orderBy("vec_id")
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row["embedding"]]
+    """Deterministic query vector: the embedding of the min vec_id row.
+
+    r8: resolved driver-side from the parquet footer/row groups (pyarrow)
+    instead of a Spark TakeOrdered job — every ANN query used to pay one
+    full cluster job just to fetch this one scalar parameter (guide §5:
+    the driver fetching a 1-row parameter is not data work).  Row-group
+    pruned: only vec_id columns are scanned to locate the min, then the
+    single owning row group's embedding column is read.  Falls back to the
+    original Spark probe on any layout surprise (e.g. a multi-file dir)."""
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        best = None  # (vec_id, row_group index)
+        for rg in range(f.metadata.num_row_groups):
+            ids = f.read_row_group(rg, columns=["vec_id"]).column("vec_id")
+            i = pc.min_max(ids)["min"].as_py()
+            if best is None or i < best[0]:
+                best = (i, rg)
+        tbl = f.read_row_group(best[1], columns=["vec_id", "embedding"])
+        idx = tbl.column("vec_id").to_pylist().index(best[0])
+        return [float(x) for x in tbl.column("embedding")[idx].as_py()]
+    except Exception:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .select("embedding")
+            .first()
+        )
+        return [float(x) for x in row["embedding"]]
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -361,8 +361,10 @@ def test_state_resolution_is_o_delta_after_checkpoint(spark, tmp_path):
     # the checkpoint is scanned exactly once (and only scanned)
     assert plan.count("checkpoint=") == 1, plan
     # every window/shuffle in the plan sits over a wave delta, none over the
-    # checkpoint: windows = 2 (the delta resolution feeds both union branches)
-    assert plan.count("Window (") == 2, plan
+    # checkpoint.  r8: with exactly ONE post-checkpoint delta the
+    # latest-record window is skipped entirely (deltas are unique-per-url
+    # by construction), so the plan carries no Window at all.
+    assert plan.count("Window (") == 0, plan
     locs = re.findall(r"Location: InMemoryFileIndex \[file:(\S+)\]", plan)
     assert sum("checkpoint=" in p for p in locs) == 1
     assert all(("wave=" in p) or ("checkpoint=" in p) for p in locs)
@@ -376,6 +378,18 @@ def test_state_resolution_is_o_delta_after_checkpoint(spark, tmp_path):
         (x["url"], x["status"], x["wave"])
         for x in r.state().select("url", "status", "wave").collect()
     )
+    assert snap(runner) == snap(control)
+
+    # with TWO post-checkpoint deltas the windowed resolution re-engages —
+    # still over the deltas only, never the checkpoint side
+    runner.run_wave()
+    control.run_wave()
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        runner.state().explain("formatted")
+    plan2 = buf2.getvalue()
+    assert plan2.count("Window (") == 2, plan2
+    assert plan2.count("checkpoint=") == 1, plan2
     assert snap(runner) == snap(control)
 
 

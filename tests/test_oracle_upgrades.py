@@ -64,15 +64,18 @@ def test_extract_oracle_guard_rejects_unicode_boundary_divergence():
 
 
 def test_quality_metrics_guard_rejects_non_ascii(spark, tmp_path):
-    """q_quality_metrics_udf asserts the ASCII oracle domain with one
-    distributed aggregate and fails loud outside it."""
+    """q_quality_metrics_udf asserts the ASCII oracle domain and fails loud
+    outside it.  r8: the guard is folded into the lazy plan (per-row
+    raise_error rides the UDF's own scan instead of a separate eager
+    pre-scan job), so the failure surfaces at EXECUTION — the query can
+    still never return rows from outside the proven replay domain."""
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
     spark.createDataFrame(
         [(0, "plain ascii text"), (1, "text mit Umlaut ü")], "doc_id long, text string"
     ).write.parquet(f"{sf}/documents.parquet")
-    with pytest.raises(ValueError, match="ASCII"):
-        E.q_quality_metrics_udf(spark, sf)
+    with pytest.raises(Exception, match="ASCII oracle domain"):
+        E.q_quality_metrics_udf(spark, sf).collect()
 
 
 def test_extract_pipeline_matches_entry_rows(spark, monkeypatch, tmp_path):

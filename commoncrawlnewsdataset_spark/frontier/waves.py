@@ -192,8 +192,13 @@ class WaveRunner:
     # 07_geocode_news.py:149-155)
     wave_seconds: float | None = None
     # fetch tasks per core: fine-grained tasks pack the tail of the stage
-    # (a 2-round schedule of coarse tasks leaves cores idle at the end)
-    fetch_tasks_per_core: int = 8
+    # (a single-round schedule of coarse tasks leaves cores idle at the
+    # end).  r8: default 8 -> 2 — an interleaved A/B at 343k urls read the
+    # 2/core fan-out ~25% faster than 8/core (fewer python-worker task
+    # rounds; min 3.3s vs 4.2s over 3 reps), and 2/core still packs a
+    # straggler tail; raise it for real-network fetchers whose per-url
+    # latency variance dwarfs the per-task overhead.
+    fetch_tasks_per_core: int = 2
     # AIMD politeness: shrink a host's next-wave budget in proportion to its
     # last-wave failure rate (politeness.adaptive_host_budgets); combined
     # with crawl-delay budgets by LEAST when both apply
@@ -1033,6 +1038,24 @@ class WaveRunner:
             invalid_df,
         )
 
+    def _delta_file_rows(self, delta_path: str) -> dict[int, int]:
+        """Per-file row counts of a written delta, read from the parquet
+        FOOTERS on the driver — the per-partition lineage of the committed
+        bytes at zero Spark jobs (a file is the persisted partition)."""
+        try:
+            import pyarrow.parquet as pq
+
+            files = sorted(
+                f for f in os.listdir(delta_path)
+                if f.endswith(".parquet") or f.startswith("part-")
+            )
+            return {
+                i: pq.ParquetFile(os.path.join(delta_path, f)).metadata.num_rows
+                for i, f in enumerate(files)
+            }
+        except Exception:
+            return {}
+
     def _fetch(self, selected: DataFrame) -> DataFrame:
         """Fetch stage: frontier columns pass straight THROUGH the Arrow UDF,
         so outcomes need no join back to the selection (one shuffle fewer;
@@ -1077,6 +1100,12 @@ class WaveRunner:
         # is tiny on disk but expensive per row (network/parse) — without this
         # repartition AQE coalesces the wave to ~1 partition and the fetch
         # runs single-threaded.  Fetch parallelism must track cores, not MB.
+        # r8: partition by url_hash instead of round-robin — a deterministic
+        # key survives map-stage retries without the round-robin path's
+        # local sort-before-repartition (guide §2.5 / SPARK-38388: rr +
+        # recomputed input can duplicate or lose rows; Spark guards that
+        # with a per-partition sort, which hash keys don't need).  url_hash
+        # is murmur3 of the url — already on every row, uniformly spread.
         parallelism = self.spark.sparkContext.defaultParallelism * self.fetch_tasks_per_core
         schema = FETCH_PAGE_SCHEMA if keep_payload else FETCH_RESULT_SCHEMA
         return (
@@ -1084,7 +1113,7 @@ class WaveRunner:
                 "url", "url_hash", "host", "priority", "discovered_ts",
                 F.col("attempts").cast("int").alias("attempts"),
             )
-            .repartition(parallelism)
+            .repartition(parallelism, F.col("url_hash"))
             .mapInPandas(gen, schema)
         )
 
@@ -1178,14 +1207,91 @@ class WaveRunner:
             # keeps the binary html out of every downstream scan.
             results.write.mode("overwrite").parquet(self._page_sink_path(wave))
             results = self.spark.read.parquet(self._page_sink_path(wave))
-        outcome = results.select(
-            "url", "url_hash", "host",
+        outcome_cols = [
+            F.col("url"), F.col("url_hash"), F.col("host"),
             F.when(F.col("ok"), "fetched").otherwise("failed").alias("status"),
             F.col("priority").cast("double"),
             F.lit(wave).alias("wave"),
             F.col("attempts"),
             F.col("discovered_ts").cast("timestamp"),
-        ).cache()
+        ]
+        if self.page_sink_dir is None and self.link_expander is None:
+            # r8 WRITE-FIRST path (the common crawl-simulation shape): the
+            # delta WRITE is the fetch's one materialization — the sink
+            # variant of "fetch exactly once" without the ~wave-sized
+            # .cache() the old path paid (cache build + eviction pressure
+            # measured ~1.5 s/wave at 400k urls).  Metrics then derive
+            # from the committed bytes: status counts from a column-pruned
+            # re-read (status+attempts only), per-file lineage from the
+            # parquet footers driver-side (no job at all).  With a page
+            # sink the sink write already plays this role; with a link
+            # expander the outcomes feed discovery and stay on the cached
+            # path below.
+            outcome = results.select(*outcome_cols)
+            t_select_built = time.time()
+            self._write_delta(
+                outcome.coalesce(self.spark.sparkContext.defaultParallelism), wave
+            )
+            t_written = time.time()
+            if self._head_unseen_cache is not None:
+                self._head_unseen_cache.unpersist()
+                self._head_unseen_cache = None
+            delta_path = os.path.join(self._wave_dir(wave), "delta.parquet")
+            written = self.spark.read.parquet(delta_path)
+            status_rows = (
+                written.groupBy("status").agg(F.count("*").alias("rows")).collect()
+            )
+            t_metrics = time.time()
+            status_counts = {r["status"]: r["rows"] for r in status_rows}
+            n_selected = sum(status_counts.values())
+            part_rows = self._delta_file_rows(delta_path)
+            if not part_rows and n_selected:
+                part_rows = {0: n_selected}  # footer read unavailable
+            if state is not None:
+                state.unpersist()
+            if parts is not None and parts[1] is not None:
+                parts[1].unpersist()
+            if n_selected == 0:
+                manifest = {"wave": wave, "n_selected": 0, "done": True,
+                            "head_used": head_used,
+                            "elapsed_s": time.time() - t0}
+                self._commit(wave, manifest)
+                return manifest
+            host_stats = []
+            if self.detailed_metrics:
+                host_stats = [
+                    r.asDict()
+                    for r in written.groupBy("host")
+                    .agg(F.count("*").alias("n"), F.sum("attempts").alias("attempts"))
+                    .orderBy(F.desc("n"), "host")
+                    .limit(20)
+                    .collect()
+                ]
+            elapsed = time.time() - t0
+            manifest = {
+                "wave": wave,
+                "phase_s": {
+                    "plan": round(t_select_built - t0, 3),
+                    "fetch_write": round(t_written - t_select_built, 3),
+                    "metrics": round(t_metrics - t_written, 3),
+                    "host_stats": round(time.time() - t_metrics, 3),
+                },
+                "n_selected": n_selected,
+                "n_fetched": status_counts.get("fetched", 0),
+                "n_failed": status_counts.get("failed", 0),
+                "n_discovered": 0,
+                "head_used": head_used,
+                "per_partition_rows": [
+                    {"partition": p, "rows": n} for p, n in sorted(part_rows.items())
+                ],
+                "top_hosts": host_stats,
+                "elapsed_s": elapsed,
+                "urls_per_sec": n_selected / elapsed if elapsed > 0 else None,
+                "done": False,
+            }
+            self._commit(wave, manifest)
+            return manifest
+        outcome = results.select(*outcome_cols).cache()
 
         # per-partition lineage + status counts in ONE pass (north_rule:
         # "checkpoints each crawl wave ... with per-partition lineage and

@@ -24,6 +24,15 @@ mechanism — ``flock`` is only a same-node politeness serializer (it does
 not cross nodes, and does not need to: a losing builder's rename fails,
 it discards its temp dir and adopts the winner's entry).
 
+REQUIREMENT (VERDICT r7 #6): ``$CCN_CACHE_ROOT`` must live on a
+filesystem with POSIX rename semantics (local disk, NFS).  On
+object-store-backed mounts (s3fs/goofys) rename is copy+delete and
+"presence proves completeness" breaks.  As a belt-and-braces guard every
+entry carries a ``_SUCCESS`` marker written LAST before publish; readers
+verify it and FAIL LOUD on a torn entry instead of consuming a partial
+index (cache root namespace bumped to v2 so the check holds for every
+entry it can see).
+
 Stale entries (superseded signatures) are abandoned, not deleted — bounded
 by the number of distinct (source content x geometry x format) tuples ever
 built; an out-of-band age-based sweep of ``<root>`` is safe at any time
@@ -49,7 +58,10 @@ def cache_root() -> str:
     env = os.environ.get("CCN_CACHE_ROOT")
     if env:
         return env
-    return os.path.join(tempfile.gettempdir(), f"ccn_cache_v1_uid{os.getuid()}")
+    # v2: every entry carries the _SUCCESS completeness marker (r8) — a
+    # fresh namespace so the strict reader-side check never trips over
+    # marker-less v1 entries (all entries are re-buildable from source)
+    return os.path.join(tempfile.gettempdir(), f"ccn_cache_v2_uid{os.getuid()}")
 
 
 def sig_hash(signature) -> str:
@@ -70,17 +82,22 @@ def ensure_cached_dir(
     is trusted as-is and NEVER rewritten or removed."""
     final = os.path.join(parent, entry)
     if os.path.isdir(final):
-        return final
+        return _checked_complete(final)
     os.makedirs(parent, exist_ok=True)
     lock_path = os.path.join(parent, f".{entry}.lock")
     with open(lock_path, "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             if os.path.isdir(final):  # a same-node builder won while we waited
-                return final
+                return _checked_complete(final)
             tmp = os.path.join(parent, f".build-{entry}-{uuid.uuid4().hex[:8]}")
             try:
                 build_fn(tmp)
+                # completeness marker LAST (VERDICT r7 #6): on a filesystem
+                # whose rename is secretly copy+delete, a torn publish is
+                # detectable because _SUCCESS is the final byte written
+                with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+                    fh.write("complete\n")
                 try:
                     os.rename(tmp, final)
                 except OSError:
@@ -91,9 +108,23 @@ def ensure_cached_dir(
             finally:
                 if os.path.exists(tmp):
                     shutil.rmtree(tmp)
-            return final
+            return _checked_complete(final)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _checked_complete(final: str) -> str:
+    """Fail loud on a torn cache entry (no _SUCCESS marker): presence of
+    the directory proves completeness only under POSIX rename — this check
+    catches object-store mounts where it does not."""
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        raise RuntimeError(
+            f"cache entry {final!r} exists but has no _SUCCESS marker — "
+            "torn publish (is $CCN_CACHE_ROOT on a non-POSIX-rename mount, "
+            "e.g. s3fs/goofys?).  The cache root must be a real filesystem; "
+            "delete the entry to rebuild it."
+        )
+    return final
 
 
 def publish_file(path: str, write_fn: Callable[[str], None]) -> str:

@@ -93,14 +93,23 @@ def repetition_stats(df, id_col: str, text_col: str):
     top_bigram_frac)."""
     from pyspark.sql import functions as F
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # r8: the token array materializes ONCE as a column (_t) — the old
+    # inline form re-evaluated the split+filter per reference (~5x per
+    # row), and the base subtree additionally feeds both join branches.
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_t"),
+    )
+    toks = F.col("_t")
     n = F.size(toks)
     # bigrams via zip_with(head, tail): the lambda touches only its element
     # args, so the token pipeline is NOT re-inlined per element (indexing
     # with element_at(toks, i) inside a transform would recompute the whole
     # split per position — Catalyst projection collapse, O(n^2) per doc)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
+    base = staged.select(
+        "doc_id",
         n.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.when(

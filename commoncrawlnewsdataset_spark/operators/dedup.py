@@ -35,17 +35,51 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles joined by a single space; empty array when < k tokens."""
-    toks = tokens(text)
+def min_tokens_pred(text: Column, k: int) -> Column:
+    """Cheap scan-stage predicate ⟺ ``size(tokens(text)) >= k``: the text
+    contains at least k maximal non-whitespace runs (Java \\s ≡ the split
+    class; lower() never changes whitespace).  Used INSTEAD of filtering on
+    ``size(shingles) > 0`` / ``simhash IS NOT NULL``: a filter over a
+    derived expensive column gets its expression substituted by predicate
+    pushdown and dragged below the CPU fan-out repartition — the whole
+    shingle pipeline then re-runs single-threaded inside the one-file scan
+    stage (measured 3.3 s of a 3.7 s minhash run at sf0.1, r8)."""
+    return text.rlike(r"(\S+\s+){%d}\S" % (k - 1))
+
+
+def shingle_array(toks: Column, k: int) -> Column:
+    """k-token shingles (space-joined) from a token-array expression,
+    built from k TOP-LEVEL slices zipped together.
+
+    The old form — ``transform(sequence(1, n-k+1), i -> concat_ws(' ',
+    slice(toks, i, k)))`` — references ``toks`` INSIDE the lambda, and a
+    subtree referenced inside a lambda re-evaluates once per ELEMENT:
+    O(n_shingles × tokens_cost) per row (the dominant term of every
+    shingle-based query at r7).  Here ``toks`` appears only at top level
+    (size + k slices = O(k) evaluations per row), and when it is an
+    already-materialized column reference the cost is O(1).  Output is
+    bit-identical: slice j holds toks[1+j .. n-k+1+j], so zipping the k
+    slices with ' ' concat reproduces concat_ws(' ', toks[i..i+k-1]) for
+    i = 1..n-k+1; greatest(n-k+1, 0) yields [] below k tokens, and the
+    outer coalesce maps a NULL text to [] exactly like the old
+    when/otherwise guard."""
     n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.coalesce(out, F.array().cast("array<string>"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles joined by a single space; empty array when < k
+    tokens (NULL text included).  Column-expression form: tokens(text) is
+    evaluated O(k) times per row — callers that control a DataFrame should
+    stage ``tokens`` as a column and use ``shingle_array`` directly."""
+    return shingle_array(tokens(text), k)
 
 
 def _capped_bucket_ids(df: DataFrame, keys: list[str], id_col: str, cap: int) -> DataFrame:
@@ -130,12 +164,10 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
-    """MinHash via md5(seed || ':' || shingle): the signature is the
-    lexicographic min hex digest per seed.  md5 is identical in Spark and
-    DuckDB, which makes signatures oracle-checkable; string-min of a uniform
-    hash is order-isomorphic to integer-min, so LSH banding behaves normally."""
-    sh = shingles(text, k)
+def minhash_signature_from_shingles(sh: Column, n_hashes: int = 8) -> Column:
+    """MinHash signature from an already-computed shingle array column —
+    the array is referenced once per hash at top level, so stage it as a
+    column to avoid n_hashes re-evaluations of the shingle pipeline."""
 
     def _seeded(prefix: str):
         # single-parameter closure: a 2-arg lambda would make Spark pass the
@@ -145,6 +177,14 @@ def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
     return F.array(
         *[F.array_min(F.transform(sh, _seeded(f"{i}:"))) for i in range(n_hashes)]
     )
+
+
+def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash via md5(seed || ':' || shingle): the signature is the
+    lexicographic min hex digest per seed.  md5 is identical in Spark and
+    DuckDB, which makes signatures oracle-checkable; string-min of a uniform
+    hash is order-isomorphic to integer-min, so LSH banding behaves normally."""
+    return minhash_signature_from_shingles(shingles(text, k), n_hashes)
 
 
 def minhash_lsh_pairs(
@@ -176,11 +216,19 @@ def minhash_lsh_pairs(
     # every element reference — n_hashes x bands recomputations of the
     # shingle pipeline (measured 50s+ at 5k docs).  Seed strings are
     # identical to minhash_signature's, so results match the DuckDB oracle.
+    #
+    # r8 staging: (1) rows below k tokens are dropped by the CHEAP
+    # min_tokens_pred at the scan (≡ the old size(sh) > 0 filter, whose
+    # pushdown used to drag the whole shingle tree below the repartition
+    # and run it single-threaded); (2) tokens materialize once as _t and
+    # shingles derive from the column (shingle_array) — 3.74 s -> 0.84 s
+    # at sf0.1, output proven identical.
     fan_out = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.repartition(fan_out)  # shingle+md5 work is CPU-bound, not byte-bound
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
-        .filter(F.size("sh") > 0)
+        df.filter(min_tokens_pred(F.col(text_col), k))
+        .repartition(fan_out)  # shingle+md5 work is CPU-bound, not byte-bound
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t"))
+        .select("id", shingle_array(F.col("_t"), k).alias("sh"))
     )
     with_band = sh.select(
         "id", "sh", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
@@ -216,35 +264,68 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def token_hashes(text: Column) -> Column:
+    """Per-token 60-bit hash array (first 15 md5 hex digits as int — conv
+    is exact there); the simhash vote input.  Mirrors 1:1 into DuckDB
+    ('0x'||substr cast)."""
+    return F.transform(
+        tokens(text), lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
+    """SimHash signature from a token-hash array: ONE left-fold accumulates
+    all ``bits`` vote counters in an array, then one zip packs the sign
+    bits.  ``th`` is referenced exactly twice at top level (null guard +
+    fold) — the old per-bit formulation referenced it once per bit, and a
+    subtree referenced N times re-evaluates N times per row: 32 full
+    tokenize+md5 passes per document (r8; stage ``th`` as a column to make
+    both references O(1)).  Bit tests use bitwiseAND against constant
+    powers of two — same bit semantics as the old shiftright form, valid
+    for the 60-bit hash domain."""
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda v, p: v + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    total = F.aggregate(
+        F.zip_with(
+            votes, powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.when(F.size(th) > 0, total).otherwise(F.lit(None).cast("long"))
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: token hash = first 15 hex of md5 as a
     60-bit int (conv is exact there); each bit votes +1/-1; signature bit b is
     set when the vote sum is positive.  conv/md5/bit-ops all mirror 1:1 into
-    the DuckDB oracle ('0x'||substr cast)."""
-    toks = tokens(text)
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-
-    def _vote(bit: int):
-        return lambda acc, h: acc + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bit_terms = []
-    for b in range(bits):
-        votes = F.aggregate(th, F.lit(0).cast("long"), _vote(b))
-        bit_terms.append(F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return F.when(F.size(toks) > 0, total).otherwise(F.lit(None).cast("long"))
+    the DuckDB oracle ('0x'||substr cast).  Column-expression form (2
+    token-hash evaluations per row); DataFrame callers stage token_hashes
+    as a column and use simhash_from_hashes."""
+    return simhash_from_hashes(token_hashes(text), bits)
 
 
 def simhash_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Docs sharing an identical simhash signature (collision groups) —
     the scale-path first stage; Hamming-ball probing extends it by banding
-    the signature, same as minhash bands."""
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash"))
+    the signature, same as minhash bands.  r8 staging: the tokenless rows
+    (the only NULL signatures) are dropped by the cheap scan predicate and
+    token hashes materialize once as a column."""
+    sh = (
+        df.filter(min_tokens_pred(F.col(text_col), 1))
+        .select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("id", simhash_from_hashes(F.col("_th"), bits).alias("simhash"))
+    )
     return (
-        sh.filter(F.col("simhash").isNotNull())
-        .groupBy("simhash")
+        sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("min_id"))
     )
 
@@ -274,9 +355,10 @@ def simhash_hamming_pairs(
     n_bands = max_hamming + 1
     w = bits // n_bands
     sigs = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        df.filter(min_tokens_pred(F.col(text_col), 1))  # ≡ sig IS NOT NULL
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("id", simhash_from_hashes(F.col("_th"), bits).alias("sig"))
     )
     band_structs = []
     for i in range(n_bands):
@@ -326,13 +408,15 @@ def ngram_jaccard_pairs(
     similarity.  Shuffled bytes per pass are 8-16 B keys — the array-join
     formulation (candidates x full shingle arrays) measured 5x slower at
     sf0.1."""
+    # r8 staging (same rework as minhash_lsh_pairs): cheap scan predicate
+    # instead of the post-hoc size(sh) > 0 filter (whose pushdown re-ran
+    # the shingle tree single-threaded below the fan-out), tokens
+    # materialized once, shingles from the column.
     sets = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
+        df.filter(min_tokens_pred(F.col(text_col), k))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t"))
+        .select("id", F.array_distinct(shingle_array(F.col("_t"), k)).alias("sh"))
     )
     sizes = sets.select("id", F.size("sh").cast("long").alias("sz"))
 
@@ -515,30 +599,29 @@ def chunk_dedup_stats(
     dropped.  Returns per-doc (doc_id, n_chunks, n_kept) — the boilerplate
     mass a paragraph dedup would remove is n_chunks - n_kept.
 
-    Scale shape: tokens posexplode ONCE per document (slicing a computed
-    token array per chunk index looks natural but Catalyst's projection
-    collapse re-inlines the whole split per element — O(n_chunks x n) token
-    work per doc, ruinous on long documents; the same blowup minhash banding
-    dodges); chunks re-assemble in a (doc, chunk_id) groupBy with groups of
-    at most ``chunk_tokens`` rows (no skew possible), then ONE groupBy on
-    the 32-hex hash finds each chunk's owner and a count per doc finishes.
-    Downstream of the scan only hashes and per-chunk token rows shuffle."""
-    toks = tokens(F.col(text_col))
-    tok_rows = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    Scale shape (r8 rework): tokens materialize ONCE as a column, chunks
+    slice the STAGED array per chunk index (a column reference inside the
+    lambda is O(1) per element — slicing an INLINE token expression per
+    index would re-run the whole split per chunk, the blowup the old
+    posexplode formulation dodged), and only 16-byte chunk hashes ever
+    shuffle.  The old path exploded every token row into a (doc, chunk_id)
+    re-assembly groupBy — a full shuffle of the corpus' token stream that
+    this formulation never pays; the owner groupBy and per-doc count are
+    unchanged.  Docs below one token are dropped by the cheap scan
+    predicate exactly as posexplode dropped their zero rows."""
+    tc = F.col("_t")
+    n = F.size(tc)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / chunk_tokens).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(tc, (i - 1) * chunk_tokens + 1, chunk_tokens)
+        ),
     )
-    chunk_rows = tok_rows.groupBy(
-        "doc_id", F.floor(F.col("pos") / chunk_tokens).alias("ci")
-    ).agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            )
-        ).alias("h")
+    chunk_rows = (
+        df.filter(min_tokens_pred(F.col(text_col), 1))
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t"))
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("h"))
     )
     owners = chunk_rows.groupBy("h").agg(F.min("doc_id").alias("owner"))
     kept = (

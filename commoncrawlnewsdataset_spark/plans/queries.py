@@ -439,13 +439,24 @@ MINHASH_BANDS = 4
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (unigram shingles) — md5-based, oracle-checkable."""
-    from commoncrawlnewsdataset_spark.operators.dedup import minhash_signature
+    """MinHash signatures (unigram shingles) — md5-based, oracle-checkable.
+    r8: tokens staged as a column so the 8 per-seed mins share one shingle
+    evaluation (the Column form re-evaluated it per seed)."""
+    from commoncrawlnewsdataset_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+        shingle_array,
+        tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.select("doc_id", tokens(F.col("text")).alias("_t")).select(
         "doc_id",
-        F.concat_ws("|", minhash_signature(F.col("text"), N_MINHASH, k=1)).alias("sig"),
+        F.concat_ws(
+            "|",
+            minhash_signature_from_shingles(
+                shingle_array(F.col("_t"), 1), N_MINHASH
+            ),
+        ).alias("sig"),
     )
 
 
@@ -512,11 +523,20 @@ SIMHASH_BITS = 16
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (16-bit here to keep the oracle SQL finite; the
-    operator itself defaults to 32 and scales to 64)."""
-    from commoncrawlnewsdataset_spark.operators.dedup import simhash
+    operator itself defaults to 32 and scales to 64).  r8: token hashes
+    staged as a column — the Column form re-evaluated the tokenize+md5
+    pass once per signature bit."""
+    from commoncrawlnewsdataset_spark.operators.dedup import (
+        simhash_from_hashes,
+        token_hashes,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text"), SIMHASH_BITS).alias("simhash"))
+    return docs.select(
+        "doc_id", token_hashes(F.col("text")).alias("_th")
+    ).select(
+        "doc_id", simhash_from_hashes(F.col("_th"), SIMHASH_BITS).alias("simhash")
+    )
 
 
 def _duck_simhash_terms() -> str:

@@ -175,6 +175,27 @@ def test_delta_rows_bound_from_manifests(spark, tmp_path):
     assert bound is not None and bound >= actual
 
 
+def test_cache_torn_entry_fails_loud(tmp_path):
+    """VERDICT r7 #6: an entry published without its _SUCCESS marker (the
+    torn-rename signature of an object-store mount) must raise, never be
+    consumed; a healthy build carries the marker."""
+    from commoncrawlnewsdataset_spark.cache import ensure_cached_dir
+
+    parent = str(tmp_path / "kind")
+
+    def build(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data.bin"), "w") as fh:
+            fh.write("x")
+
+    final = ensure_cached_dir(parent, "e-aaaa", build)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    # simulate the torn publish
+    os.remove(os.path.join(final, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        ensure_cached_dir(parent, "e-aaaa", build)
+
+
 def test_sql_text_stats_values_unchanged(spark):
     """The single-pass with_sql_text_stats computes the same values as the
     per-metric definitions it replaced."""

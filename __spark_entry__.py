@@ -50,13 +50,17 @@ N_FIXTURE_PAGES = 600
 def _guard_gazetteer_names(names: list[str]) -> None:
     """Loud guard shared by every oracle that interpolates gazetteer names
     into a regex alternation / SQL literal (the __spark_entry__ alphabet-
-    guard pattern): letters (incl. latin-1), digits, spaces, hyphens only —
-    all regex-literal in both engines, and lower() ≡ the X9 normalization
-    on this alphabet."""
+    guard pattern): letters (incl. latin-1), digits, single internal
+    spaces, hyphens only — all regex-literal in both engines, and lower()
+    ≡ the X9 normalization on this alphabet.  ADVICE r7: leading/trailing
+    or doubled spaces are rejected too — on such names lower() is NOT
+    equivalent to normalize_loc_ner (which trims and collapses
+    whitespace), so the loc_normal replay would silently diverge."""
     import re as _re
 
+    word = r"[A-Za-zÀ-ÿ0-9\-]+"
     for n in names:
-        if not _re.fullmatch(r"[A-Za-zÀ-ÿ0-9 \-]+", n):
+        if not _re.fullmatch(rf"{word}( {word})*", n):
             raise ValueError(
                 f"gazetteer name {n!r} outside the regex-literal alphabet — "
                 "extend the oracle with RE2-safe escaping first"
@@ -1218,23 +1222,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Queries whose IMPLEMENTATION was reworked in the current round — update
-# per round.  r7: the signature-addressed shared-cache rework (ANN index +
-# aux naming), the rows-only -> value-oracle upgrades, and the cached
-# capstone state.
+# per round.  r8 (optimization round — plans changed, outputs proven
+# identical against the unchanged oracles): the shingle/simhash staging
+# rework, the single-pass SQL text stats, the lazy ASCII guard, the
+# wave-runner fast paths (single-delta snapshot, seed-only gate skip,
+# write-first delta, hash-partitioned fetch), and the driver-side query
+# vector probe.
 CHANGED_THIS_ROUND = {
-    # ANN cache rework: immutable per-signature entries, query-scoped aux
-    "composed_ann_metadata",
-    "composed_ann_topk",
-    # rows-only -> full value oracle upgrades (VERDICT r6 #1/#2/#4)
-    "extract_pipeline",
+    # shingle/token staging (per-element re-evaluation fix)
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "chunk_dedup",
+    "repetition_stats",
+    # single-pass SQL text stats
+    "text_stats",
+    "quality_filter",
+    # ASCII guard folded into the lazy plan
     "quality_metrics_udf",
-    "ivf_ann_topk",
-    "lsh_ann_topk",
-    "multi_lsh_ann_topk",
-    "pq_ann_topk",
-    # capstone hygiene rework (per-user run dirs, immediate catalog drops)
-    # + compact() idempotence/layout-conversion staging
+    # wave-runner fast paths (write-first delta, seed-only gate skip,
+    # single-delta snapshot, hash-partitioned fetch fan-out)
+    "politeness_wave",
+    "frontier_waves",
+    "crawl_order",
     "crawl_corpus_pipeline",
+    # driver-side parquet-footer query-vector probe
+    "cosine_topk",
+    "int8_topk",
+    "ann_rescore_topk",
+    "binary_rescore_topk",
+    "hamming_topk",
 }
 
 

@@ -157,9 +157,14 @@ def main() -> None:
             "|---|---|---|---|---|---|---|---|\n"
         )
         for w, nsel, wall, ph, note, shuf_mb in rows:
+            # r8: the write-first wave path emits fetch_write/metrics phase
+            # keys (the delta write IS the fetch materialization); older
+            # manifests carry select_fetch_metrics/write
+            fetch_s = ph.get("fetch_write", ph.get("select_fetch_metrics", 0))
+            write_s = ph.get("metrics", ph.get("write", 0))
             f.write(
                 f"| {w} | {nsel:,} | {wall:.2f} | {ph.get('plan', 0):.2f} | "
-                f"{ph.get('select_fetch_metrics', 0):.2f} | {ph.get('write', 0):.2f} | "
+                f"{fetch_s:.2f} | {write_s:.2f} | "
                 f"{shuf_mb:.0f} | {note} |\n"
             )
     print(

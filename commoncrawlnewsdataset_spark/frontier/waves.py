@@ -672,20 +672,58 @@ class WaveRunner:
 
     def _write_ckpt_head(self, upto: int, state_path: str) -> None:
         """Persist the per-host candidate head next to the checkpoint
-        (VERDICT r6 #3): the exact top-``head_factor × per_host_budget``
-        pending rows per host by the selection total order (the same salted
+        (VERDICT r6 #3): the exact top-``head_factor × budget`` pending
+        rows per host by the selection total order (the same salted
         two-phase rank the wave uses), plus per-host pending totals so
         selection can detect truncation.  One politeness-rank-shaped job
         over the pending set — O(pending), paid at compaction cadence, so
-        the PER-WAVE selection no longer is."""
+        the PER-WAVE selection no longer is.
+
+        r8 (VERDICT r7 #5): the per-host depth is ``head_factor ×
+        max(per_host_budget, crawl-delay override)`` — a host whose robots
+        crawl-delay budget exceeds the uniform depth would otherwise fail
+        head validity on EVERY truncated wave and force the partial
+        fallback (soaked: 6/6 post-compaction waves partial at override
+        600 > H 400).  The per-host depth rides head_counts.parquet as
+        ``head_h`` so the truncation test stays per-host; older persisted
+        heads without the column fall back to the uniform meta H."""
         out = self._checkpoint_dir(upto)
         snap = self.spark.read.parquet(state_path)
         pending = snap.filter(F.col("status") == "pending")
         H = int(self.head_factor) * int(self.per_host_budget)
-        pending.groupBy("host").agg(
-            F.count("*").alias("n_pending")
-        ).write.mode("overwrite").parquet(os.path.join(out, "head_counts.parquet"))
-        politeness_rank(pending, H, self.nsalt).drop("rank").write.mode(
+        head_budgets = None
+        counts = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
+        if self.use_robots and self.robots_rules is not None and self.wave_seconds is not None:
+            from commoncrawlnewsdataset_spark.frontier.robots import host_crawl_delays
+
+            overrides = host_crawl_delays(self.robots_rules).select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(self.wave_seconds) / F.col("crawl_delay_s")),
+                ).cast("int").alias("_ovr"),
+            )
+            head_budgets = overrides.select(
+                "host",
+                (
+                    F.lit(int(self.head_factor))
+                    * F.greatest(F.col("_ovr"), F.lit(int(self.per_host_budget)))
+                ).cast("int").alias("budget"),
+            )
+            counts = counts.join(
+                F.broadcast(head_budgets.withColumnRenamed("budget", "head_h")),
+                "host",
+                "left",
+            ).select(
+                "host", "n_pending",
+                F.coalesce(F.col("head_h"), F.lit(H)).alias("head_h"),
+            )
+        else:
+            counts = counts.withColumn("head_h", F.lit(H))
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out, "head_counts.parquet")
+        )
+        politeness_rank(pending, H, self.nsalt, head_budgets).drop("rank").write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "head.parquet"))
         with open(os.path.join(out, "head_meta.json"), "w") as f:
@@ -995,8 +1033,12 @@ class WaveRunner:
         # validity: every TRUNCATED host must still hold >= budget gated,
         # un-superseded head survivors (their compaction order dominates
         # all excluded rows, so the true top-budget is inside the
-        # candidate set)
-        truncated = counts.filter(F.col("n_pending") > H).select("host")
+        # candidate set).  r8: truncation is tested against the PER-HOST
+        # persisted depth (head_h — head_factor × max(budget, crawl-delay
+        # override)); heads persisted before r8 lack the column and use
+        # the uniform meta H.
+        depth = F.col("head_h") if "head_h" in counts.columns else F.lit(H)
+        truncated = counts.filter(F.col("n_pending") > depth).select("host")
         surv = (
             unseen.filter(F.col("_h"))
             .groupBy("host")

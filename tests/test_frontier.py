@@ -1532,7 +1532,11 @@ def test_compact_idempotent_and_head_files_written(spark, tmp_path):
                 head.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert all(n <= 12 for n in per_host.values()) and per_host
     counts = spark.read.parquet(os.path.join(ck, "head_counts.parquet"))
-    assert {c for c in counts.columns} == {"host", "n_pending"}
+    # r8: head_counts additionally carries the per-host head depth
+    # (head_factor × max(budget, crawl-delay override)) for the
+    # truncation test; with no overrides it equals the uniform meta H
+    assert {c for c in counts.columns} == {"host", "n_pending", "head_h"}
+    assert all(r["head_h"] == meta["H"] for r in counts.collect())
 
     mtime = os.path.getmtime(os.path.join(ck, "state.parquet", "_SUCCESS"))
     assert r.compact(upto) == upto  # same wave, same layout -> no-op

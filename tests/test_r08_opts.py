@@ -175,6 +175,53 @@ def test_delta_rows_bound_from_manifests(spark, tmp_path):
     assert bound is not None and bound >= actual
 
 
+def test_head_depth_scales_with_crawl_delay_override(spark, tmp_path):
+    """VERDICT r7 #5: the persisted candidate head is sized per host as
+    head_factor x max(budget, crawl-delay override), so an override budget
+    above the uniform depth no longer forces the partial fallback on every
+    truncated wave; selection remains exactly the full-scan selection."""
+    rules = spark.createDataFrame(
+        [("h0.example.org", "/never/", False, 1.0)],
+        "host string, path_prefix string, allowed boolean, crawl_delay_s double",
+    )
+    kw = dict(per_host_budget=3, nsalt=2, use_robots=True, robots_rules=rules,
+              wave_seconds=30.0, fetcher=simulated_fetch,
+              detailed_metrics=False, bucket_state=4)
+    head = WaveRunner(spark, str(tmp_path / "h"), head_factor=4, **kw)
+    full = WaveRunner(spark, str(tmp_path / "f"), head_factor=0, **kw)
+    # h0 override budget = floor(30/1) = 30 > uniform depth 4*3 = 12;
+    # give h0 plenty of pending so it stays truncated
+    urls = [f"https://h0.example.org/p/{i:03d}" for i in range(200)] + [
+        f"https://h{1 + i % 3}.example.org/p/{i:03d}" for i in range(60)
+    ]
+    for r in (head, full):
+        r.load_seeds(_seed_df(spark, n=1).limit(0).unionByName(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+            .select("url", F.lit(0.5).alias("priority"),
+                    F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"))
+        ))
+        r.run_wave()
+        r.compact()
+    counts = spark.read.parquet(
+        head._checkpoint_dir(head.committed_checkpoints()[-1])
+        + "/head_counts.parquet"
+    )
+    got = {r["host"]: r["head_h"] for r in counts.collect()}
+    assert got["h0.example.org"] == 4 * 30   # factor x override
+    assert all(v == 12 for h, v in got.items() if h != "h0.example.org")
+    # the deep head proves validity: wave 2 runs the head path, no partial
+    m_head = head.run_wave()
+    m_full = full.run_wave()
+    assert m_head["head_used"] is True
+    assert m_head["n_selected"] == m_full["n_selected"]
+    # and the SELECTED url sets agree wave-for-wave
+    a = {r["url"] for r in head.state().filter(
+        F.col("status").isin("fetched", "failed")).collect()}
+    b = {r["url"] for r in full.state().filter(
+        F.col("status").isin("fetched", "failed")).collect()}
+    assert a == b
+
+
 def test_cache_torn_entry_fails_loud(tmp_path):
     """VERDICT r7 #6: an entry published without its _SUCCESS marker (the
     torn-rename signature of an object-store mount) must raise, never be

@@ -30,8 +30,10 @@ object-store-backed mounts (s3fs/goofys) rename is copy+delete and
 "presence proves completeness" breaks.  As a belt-and-braces guard every
 entry carries a ``_SUCCESS`` marker written LAST before publish; readers
 verify it and FAIL LOUD on a torn entry instead of consuming a partial
-index (cache root namespace bumped to v2 so the check holds for every
-entry it can see).
+index.  Entries persisted before the marker existed fail the same check —
+deliberately (their completeness is unprovable); sweep the root and let
+them rebuild.  (The root keeps its v1 name: oracle SQL texts interpolate
+entry paths and are fingerprint-frozen across rounds.)
 
 Stale entries (superseded signatures) are abandoned, not deleted — bounded
 by the number of distinct (source content x geometry x format) tuples ever
@@ -58,10 +60,7 @@ def cache_root() -> str:
     env = os.environ.get("CCN_CACHE_ROOT")
     if env:
         return env
-    # v2: every entry carries the _SUCCESS completeness marker (r8) — a
-    # fresh namespace so the strict reader-side check never trips over
-    # marker-less v1 entries (all entries are re-buildable from source)
-    return os.path.join(tempfile.gettempdir(), f"ccn_cache_v2_uid{os.getuid()}")
+    return os.path.join(tempfile.gettempdir(), f"ccn_cache_v1_uid{os.getuid()}")
 
 
 def sig_hash(signature) -> str:
